@@ -1,0 +1,310 @@
+"""Element-local least-squares assembly and operator evaluation.
+
+TPU-native core of ``algsys/AssembleLocalSystem.hpp`` and
+``algsys/EvaluateLocalOperator.hpp``.  The least-squares normal equations for
+the first-order system ``A0 u + sum_d A_d du/dx_d = f`` are, per element,
+
+    K_e = sum_q w_q |J_q|  M_q^T M_q,     F_e = sum_q w_q |J_q| M_q^T f_q,
+
+where ``M_q[:, (n,u)] = sum_d A_d(x_q)[:, u] * B_d[q, n]`` with ``B_0`` the
+basis values and ``B_d`` the physical basis derivatives.  Everything is
+batched over elements (leading axis E) so the contractions become large MXU
+matmuls; the reference's per-QP SIMD rank-k updates
+(``AssembleLocalSystem.hpp:144-208``) are replaced by one
+(E, Q*n_eq, n_loc)^T x (E, Q*n_eq, n_loc) batched product.
+
+Local DOF ordering is node-major: local dof = node * n_unknowns + unknown.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..basis.tables import BasisType, basis_at_quadrature, basis_at_side_quadrature
+from ..common.kernel import BoundaryInput, DomainInput, SpaceTimePoint
+from ..mapping.geometry import (
+    boundary_normals_and_measure,
+    geometry_tables,
+    jacobians,
+    physical_basis_derivatives,
+)
+from ..mesh.traits import ElementType, native_dim
+
+__all__ = [
+    "DomainTables",
+    "domain_tables",
+    "side_tables",
+    "node_tables",
+    "ElementGeometry",
+    "element_geometry",
+    "eval_fields",
+    "eval_equation_kernel",
+    "eval_residual_kernel",
+    "local_system",
+    "local_apply_direct",
+    "local_diagonal",
+]
+
+
+@dataclass(frozen=True)
+class DomainTables:
+    """Static basis/quadrature/geometry tables for one (type, order, side?)."""
+
+    element_type: ElementType
+    order: int
+    values: np.ndarray  # (Q, n_nodes)
+    ref_ders: np.ndarray  # (Q, dim, n_nodes)
+    weights: np.ndarray  # (Q,)
+    points: np.ndarray  # (Q, dim) reference coordinates
+    geom_values: np.ndarray  # (Q, n_verts)
+    geom_ders: np.ndarray  # (Q, dim, n_verts)
+    side: int | None = None  # set for boundary tables
+
+    @property
+    def n_qp(self) -> int:
+        return len(self.weights)
+
+    @property
+    def dim(self) -> int:
+        return native_dim(self.element_type)
+
+
+@lru_cache(maxsize=None)
+def domain_tables(
+    et: ElementType, order: int, q_order: int, basis_type: BasisType = BasisType.LAGRANGE
+) -> DomainTables:
+    b = basis_at_quadrature(et, order, q_order, basis_type)
+    gv, gd = geometry_tables(et, b.points)
+    return DomainTables(et, order, b.values, b.derivatives, b.weights, b.points, gv, gd)
+
+
+@lru_cache(maxsize=None)
+def side_tables(
+    et: ElementType, order: int, side: int, q_order: int, basis_type: BasisType = BasisType.LAGRANGE
+) -> DomainTables:
+    b = basis_at_side_quadrature(et, order, side, q_order, basis_type)
+    gv, gd = geometry_tables(et, b.points)
+    return DomainTables(et, order, b.values, b.derivatives, b.weights, b.points, gv, gd, side=side)
+
+
+@lru_cache(maxsize=None)
+def node_tables(et: ElementType, order: int, basis_type: BasisType = BasisType.LAGRANGE) -> DomainTables:
+    """Tables at the element's own nodes (for values-at-nodes evaluation)."""
+    from ..basis.tables import basis_at_nodes
+
+    b = basis_at_nodes(et, order, basis_type)
+    gv, gd = geometry_tables(et, b.points)
+    w = np.ones(b.values.shape[0])
+    return DomainTables(et, order, b.values, b.derivatives, w, b.points, gv, gd)
+
+
+@dataclass
+class ElementGeometry:
+    """Per-(element, qp) geometric quantities; all leading axes (E, Q)."""
+
+    xyz: jnp.ndarray  # (E, Q, 3) physical space-time point coordinates
+    phys_ders: jnp.ndarray  # (E, Q, dim, n_nodes)
+    weights: jnp.ndarray  # (E, Q) quadrature weight * measure
+    normals: jnp.ndarray | None = None  # (E, Q, dim) for boundary tables
+
+
+def element_geometry(tables: DomainTables, verts: jnp.ndarray, dtype=None) -> ElementGeometry:
+    """Batched geometry for a block: verts (E, n_verts, 3)."""
+    dtype = dtype or verts.dtype
+    dim = tables.dim
+    verts = jnp.asarray(verts, dtype)
+    gd = jnp.asarray(tables.geom_ders, dtype)
+    gv = jnp.asarray(tables.geom_values, dtype)
+    J = jax.vmap(lambda v: jacobians(gd, v[:, :dim]))(verts)  # (E, Q, dim, dim)
+    physD = jax.vmap(lambda Je: physical_basis_derivatives(Je, jnp.asarray(tables.ref_ders, dtype)))(J)
+    xyz = jnp.einsum("qv,evi->eqi", gv, verts)  # full 3-coordinate physical point
+    w = jnp.asarray(tables.weights, dtype)
+    if tables.side is None:
+        from ..mapping.geometry import small_det
+
+        detJ = jnp.abs(small_det(J))
+        weights = w[None, :] * detJ
+        normals = None
+    else:
+        normals, dA = jax.vmap(
+            lambda Je: boundary_normals_and_measure(Je, tables.element_type, tables.side)
+        )(J)
+        weights = w[None, :] * dA
+    return ElementGeometry(xyz=xyz, phys_ders=physD, weights=weights, normals=normals)
+
+
+def eval_fields(
+    tables: DomainTables, geom: ElementGeometry, field_nodal: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Field values/gradients at QPs from nodal values (E, n_nodes, n_fields)."""
+    N = jnp.asarray(tables.values, field_nodal.dtype)
+    vals = jnp.einsum("qn,enf->eqf", N, field_nodal)
+    ders = jnp.einsum("eqdn,enf->eqdf", geom.phys_ders, field_nodal)
+    return vals, ders
+
+
+def _make_inputs(kernel, geom: ElementGeometry, field_vals, field_ders, time, n_fields, dim, dtype):
+    E, Q = geom.weights.shape
+    if field_vals is None:
+        field_vals = jnp.zeros((E, Q, n_fields), dtype)
+        field_ders = jnp.zeros((E, Q, dim, n_fields), dtype)
+    t = jnp.asarray(time, dtype)
+    if kernel.is_boundary:
+        if geom.normals is None:
+            raise ValueError("boundary kernel requires boundary tables (with normals)")
+        return (field_vals, field_ders, geom.xyz, geom.normals), t, True
+    return (field_vals, field_ders, geom.xyz), t, False
+
+
+def eval_equation_kernel(
+    kernel, geom: ElementGeometry, field_vals=None, field_ders=None, time=0.0, dtype=jnp.float64
+):
+    """Evaluate a wrapped equation kernel at all (element, qp).
+
+    Returns A (E, Q, dim+1, n_eq, n_unk) and f (E, Q, n_eq, n_rhs).
+    """
+    p = kernel.params
+    args, t, is_boundary = _make_inputs(
+        kernel, geom, field_vals, field_ders, time, p.n_fields, p.dimension, dtype
+    )
+
+    if is_boundary:
+
+        def one(v, d, x, nrm):
+            return kernel.evaluate(BoundaryInput(v, d, SpaceTimePoint(x, t), nrm), dtype)
+
+    else:
+
+        def one(v, d, x):
+            return kernel.evaluate(DomainInput(v, d, SpaceTimePoint(x, t)), dtype)
+
+    return jax.vmap(jax.vmap(one))(*args)
+
+
+def eval_residual_kernel(
+    kernel, geom: ElementGeometry, field_vals=None, field_ders=None, time=0.0, dtype=jnp.float64
+):
+    """Evaluate a wrapped residual kernel at all (element, qp) -> (E, Q, n_eq, n_rhs)."""
+    p = kernel.params
+    args, t, is_boundary = _make_inputs(
+        kernel, geom, field_vals, field_ders, time, p.n_fields, p.dimension, dtype
+    )
+
+    if is_boundary:
+
+        def one(v, d, x, nrm):
+            return kernel.evaluate(BoundaryInput(v, d, SpaceTimePoint(x, t), nrm), dtype)
+
+    else:
+
+        def one(v, d, x):
+            return kernel.evaluate(DomainInput(v, d, SpaceTimePoint(x, t)), dtype)
+
+    return jax.vmap(jax.vmap(one))(*args)
+
+
+def _basis_stack(tables: DomainTables, geom: ElementGeometry, dtype) -> jnp.ndarray:
+    """B (E, Q, dim+1, n_nodes): values then physical derivatives."""
+    E = geom.weights.shape[0]
+    N = jnp.broadcast_to(
+        jnp.asarray(tables.values, dtype)[None, :, None, :],
+        (E, tables.n_qp, 1, tables.values.shape[1]),
+    )
+    return jnp.concatenate([N, geom.phys_ders.astype(dtype)], axis=2)
+
+
+def local_system(
+    kernel,
+    tables: DomainTables,
+    geom: ElementGeometry,
+    field_vals=None,
+    field_ders=None,
+    time=0.0,
+    dtype=jnp.float64,
+    qp_chunk: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Local LSFEM matrices K (E, n_loc, n_loc) and rhs F (E, n_loc, n_rhs).
+
+    ``qp_chunk`` bounds the materialized M tensor: QPs are processed in
+    chunks of that size with a scan accumulating K and F (the analog of the
+    reference's cache-blocked batching, ``EvaluateLocalOperator.hpp:37-52``).
+    """
+    p = kernel.params
+    A, f = eval_equation_kernel(kernel, geom, field_vals, field_ders, time, dtype)
+    B = _basis_stack(tables, geom, dtype)
+    E, Q = geom.weights.shape
+    n_nodes = tables.values.shape[1]
+    n_loc = n_nodes * p.n_unknowns
+
+    def accumulate(A_c, f_c, B_c, w_c):
+        # A_c (E,q,d,e,u), B_c (E,q,d,n), w_c (E,q)
+        M = jnp.einsum("eqdiu,eqdn->eqinu", A_c, B_c)  # (E,q,n_eq,n_nodes,n_unk)
+        q = w_c.shape[1]
+        Mr = M.reshape(E, q * p.n_equations, n_loc)
+        w2 = jnp.repeat(w_c, p.n_equations, axis=1)  # (E, q*n_eq)
+        Mw = Mr * w2[:, :, None]
+        K = jnp.einsum("eqi,eqj->eij", Mw, Mr)
+        F = jnp.einsum("eqi,eqr->eir", Mw, f_c.reshape(E, q * p.n_equations, p.n_rhs))
+        return K, F
+
+    if qp_chunk is None or qp_chunk >= Q:
+        return accumulate(A, f, B, geom.weights)
+
+    n_chunks = -(-Q // qp_chunk)
+    pad = n_chunks * qp_chunk - Q
+
+    def pad_q(x):
+        widths = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)
+        return jnp.pad(x, widths)
+
+    A_p, f_p, B_p, w_p = pad_q(A), pad_q(f), pad_q(B), pad_q(geom.weights)
+
+    def split_q(x):
+        return jnp.moveaxis(
+            x.reshape((E, n_chunks, qp_chunk) + x.shape[2:]), 1, 0
+        )  # (n_chunks, E, qp_chunk, ...)
+
+    def body(carry, chunk):
+        K, F = carry
+        A_c, f_c, B_c, w_c = chunk
+        dK, dF = accumulate(A_c, f_c, B_c, w_c)
+        return (K + dK, F + dF), None
+
+    K0 = jnp.zeros((E, n_loc, n_loc), dtype)
+    F0 = jnp.zeros((E, n_loc, p.n_rhs), dtype)
+    (K, F), _ = jax.lax.scan(body, (K0, F0), (split_q(A_p), split_q(f_p), split_q(B_p), split_q(w_p)))
+    return K, F
+
+
+def local_apply_direct(
+    A: jnp.ndarray, B: jnp.ndarray, weights: jnp.ndarray, x_loc: jnp.ndarray
+) -> jnp.ndarray:
+    """Matrix-free local operator apply: y_e = sum_q w_q M_q^T (M_q x_e).
+
+    A (E,Q,dim+1,n_eq,n_unk), B (E,Q,dim+1,n_nodes), weights (E,Q),
+    x_loc (E, n_nodes, n_unk) -> y (E, n_nodes, n_unk).
+    Never materializes M (``algsys/EvaluateLocalOperator.hpp`` analog).
+    """
+    g = jnp.einsum("eqdn,enu->eqdu", B, x_loc)
+    r = jnp.einsum("eqdiu,eqdu->eqi", A, g)
+    rw = r * weights[:, :, None]
+    t = jnp.einsum("eqdiu,eqi->eqdu", A, rw)
+    return jnp.einsum("eqdn,eqdu->enu", B, t)
+
+
+def local_rhs(A: jnp.ndarray, B: jnp.ndarray, weights: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
+    """F_e = sum_q w_q M_q^T f_q without materializing M; (E, n_nodes, n_unk, n_rhs)."""
+    fw = f * weights[:, :, None, None]
+    t = jnp.einsum("eqdiu,eqir->eqdur", A, fw)
+    return jnp.einsum("eqdn,eqdur->enur", B, t)
+
+
+def local_diagonal(A: jnp.ndarray, B: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """diag(K_e) (E, n_nodes, n_unk): sum_q w_q sum_i M[q,i,(n,u)]^2."""
+    M = jnp.einsum("eqdiu,eqdn->eqinu", A, B)
+    return jnp.einsum("eq,eqinu,eqinu->enu", weights, M, M)
