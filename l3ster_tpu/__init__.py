@@ -1,0 +1,49 @@
+"""l3ster_tpu: TPU-native least-squares spectral/hp finite element framework.
+
+A ground-up JAX/XLA/Pallas re-design with the capabilities of the L3STER
+C++23 library (kubagalecki/L3STER): users declare systems of first-order PDEs
+as pointwise kernels filling operators ``A0, A1..AD`` and source ``f``, supply
+a high-order tensor-product mesh, and the framework assembles and solves the
+least-squares FEM normal equations -- batched over struct-of-arrays element
+blocks, matrix-free or explicitly assembled, sharded over a TPU device mesh.
+
+The public surface mirrors the reference's umbrella header ``l3ster.hpp``.
+"""
+
+from .common.enums import CondensationPolicy, LocalEvalStrategy, OperatorEvaluationStrategy
+from .common.kernel import (
+    BoundaryInput,
+    DomainInput,
+    KernelParams,
+    SpaceTimePoint,
+    wrap_boundary_equation_kernel,
+    wrap_boundary_residual_kernel,
+    wrap_domain_equation_kernel,
+    wrap_domain_residual_kernel,
+)
+from .common.problem import AlgebraicSystemParams, AssemblyOptions, BCDefinition, ProblemDefinition
+from .algsys.system import AssembledSystem, MatrixFreeSystem, make_algebraic_system
+from .mesh.convert_order import convert_mesh_to_order
+from .mesh.core import ElementBlock, Mesh
+from .mesh.generators import (
+    CubeMeshIds,
+    SquareMeshIds,
+    make_cube_mesh,
+    make_line_mesh,
+    make_square_mesh,
+)
+from .mesh.traits import ElementType
+from .post.integral import compute_integral, compute_norm_l2
+from .post.solution import FieldAccess, SolutionManager
+from .solve.direct import Klu2, Lapack
+from .solve.interface import IterSolveResult, IterSolverOpts
+from .solve.krylov import CG, Gmres
+from .solve.precond import Chebyshev, Identity, Jacobi, Richardson
+
+__version__ = "0.1.0"
+
+
+def generate_mesh(mesh: Mesh, order: int = 1) -> Mesh:
+    """Convenience analog of ``generateAndDistributeMesh``: promote a generated
+    order-1 mesh to the requested element order."""
+    return convert_mesh_to_order(mesh, order)

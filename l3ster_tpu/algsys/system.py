@@ -1,0 +1,477 @@
+"""Algebraic systems: global assembly and matrix-free operators.
+
+TPU-native re-design of ``algsys/MakeAlgebraicSystem.hpp`` /
+``algsys/AssembledSystem.hpp`` / ``algsys/MatrixFreeSystem.hpp``:
+
+* **AssembledSystem** holds an explicit CSR matrix; element contributions are
+  scattered with one big ``at[].add`` per block (replacing Tpetra FECrsMatrix
+  + atomic scatters), and SpMV is a gather + ``segment_sum``.
+* **MatrixFreeSystem** registers per-block closures at assembly time (the
+  analog of the type-erased per-element closures,
+  ``MatrixFreeSystem.hpp:139-173``) and re-evaluates geometry + kernel inside
+  the jitted operator apply.
+
+Strong Dirichlet conditions are imposed **by masking, outside the operator**
+(SPD-preserving): ``y = free * A(free * x) + dir * x`` and
+``b_eff = free * (b - A(g_ext)) + g_ext`` -- the functional equivalent of the
+reference's row/column elimination with unit diagonal
+(``bcs/DirichletBC.hpp:12-62``, ``MatrixFreeSystem.hpp:1087-1104``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as _field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bcs.dirichlet import collect_dirichlet_dofs
+from ..bcs.periodic import match_periodic_nodes
+from ..common.enums import CondensationPolicy, OperatorEvaluationStrategy
+from ..common.problem import AlgebraicSystemParams, AssemblyOptions, BCDefinition, ProblemDefinition
+from ..dofs.dofmap import build_dof_map
+from ..mesh.core import Mesh
+from .local import (
+    _basis_stack,
+    domain_tables,
+    element_geometry,
+    eval_equation_kernel,
+    eval_fields,
+    local_apply_direct,
+    local_diagonal,
+    local_rhs,
+    local_system,
+    side_tables,
+)
+
+__all__ = ["AssembledSystem", "MatrixFreeSystem", "make_algebraic_system"]
+
+
+@dataclass
+class _Contribution:
+    """One registered (kernel, element bucket) assembly contribution."""
+
+    kernel: object
+    tables: object
+    verts: np.ndarray  # (E, n_verts, 3)
+    elem_dofs: np.ndarray  # (E, n_nodes, n_unk) int64
+    field_access: object | None
+    time: float
+    options: AssemblyOptions
+
+
+class _SystemBase:
+    def __init__(
+        self,
+        mesh: Mesh,
+        problem: ProblemDefinition,
+        bc_def: BCDefinition | None = None,
+        params: AlgebraicSystemParams = AlgebraicSystemParams(),
+        dtype=None,
+    ):
+        self.mesh = mesh
+        self.problem = problem
+        self.bc_def = bc_def
+        self.params = params
+        self.dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+
+        periodic_pairs = match_periodic_nodes(mesh, bc_def)
+        self.dofmap = build_dof_map(mesh, problem, periodic_pairs)
+        self.n_dofs = self.dofmap.n_dofs
+        self.n_rhs = params.n_rhs
+
+        self.dirichlet_dofs = collect_dirichlet_dofs(mesh, self.dofmap, bc_def)
+        free = np.ones(self.n_dofs, dtype=bool)
+        free[self.dirichlet_dofs] = False
+        self._free_np = free
+        self.free_mask = jnp.asarray(free.astype(np.float64), self.dtype)
+        self.dirichlet_values = jnp.zeros((len(self.dirichlet_dofs), self.n_rhs), self.dtype)
+
+        self.rhs = jnp.zeros((self.n_dofs, self.n_rhs), self.dtype)
+        self.x = jnp.zeros((self.n_dofs, self.n_rhs), self.dtype)
+        self._open = False
+        self._effective_rhs = None
+
+    # -- assembly state machine (``AssembledSystem.hpp:99-108``) -------------
+
+    def begin_assembly(self) -> None:
+        self._open = True
+        self._effective_rhs = None
+        self.rhs = jnp.zeros((self.n_dofs, self.n_rhs), self.dtype)
+        self._begin_impl()
+
+    def end_assembly(self) -> None:
+        if not self._open:
+            raise RuntimeError("end_assembly without begin_assembly")
+        self._open = False
+        self._end_impl()
+
+    def _require_open(self) -> None:
+        if not self._open:
+            raise RuntimeError("assemble_problem requires an open assembly (call begin_assembly)")
+
+    # -- problem assembly -----------------------------------------------------
+
+    def assemble_problem(
+        self,
+        kernel,
+        domain_ids,
+        field_access=None,
+        dof_inds=None,
+        options: AssemblyOptions = AssemblyOptions(),
+        time: float = 0.0,
+    ) -> None:
+        """Register/assemble an equation kernel over domains or boundaries."""
+        self._require_open()
+        p = kernel.params
+        if p.n_rhs != self.n_rhs:
+            raise ValueError(f"kernel n_rhs={p.n_rhs} != system n_rhs={self.n_rhs}")
+        dof_inds = tuple(range(p.n_unknowns)) if dof_inds is None else tuple(dof_inds)
+        if len(dof_inds) != p.n_unknowns:
+            raise ValueError("dof_inds length must equal kernel n_unknowns")
+        if field_access is not None and field_access.n_fields != p.n_fields:
+            raise ValueError(
+                f"kernel expects {p.n_fields} fields, field access provides {field_access.n_fields}"
+            )
+
+        for bucket in self._buckets(kernel, domain_ids, options):
+            tables, verts, nodes = bucket
+            elem_dofs = self.dofmap.element_dofs(nodes, dof_inds)
+            if (elem_dofs < 0).any():
+                raise ValueError(
+                    f"kernel dof indices {dof_inds} not all active on the assembled domains"
+                )
+            self._add_contribution(
+                _Contribution(
+                    kernel=kernel,
+                    tables=tables,
+                    verts=verts,
+                    elem_dofs=elem_dofs,
+                    field_access=(field_access, nodes) if field_access is not None else None,
+                    time=time,
+                    options=options,
+                )
+            )
+
+    def _buckets(self, kernel, domain_ids, options: AssemblyOptions):
+        """Yield (tables, verts, nodes) for each element bucket to assemble."""
+        if kernel.is_boundary:
+            found = False
+            for bid in domain_ids:
+                views = self.mesh.boundary_views.get(bid)
+                if views is None:
+                    raise ValueError(f"domain {bid} is not a boundary of the mesh")
+                for bv in views:
+                    blk = bv.parent_block
+                    qo = options.quadrature_order(blk.order)
+                    tab = side_tables(blk.element_type, blk.order, bv.side, qo)
+                    yield tab, blk.vertices[bv.element_indices], blk.nodes[bv.element_indices]
+                    found = True
+            if not found:
+                raise ValueError(f"no boundary facets in domains {list(domain_ids)}")
+        else:
+            blocks = self.mesh.blocks(domain_ids)
+            if not blocks:
+                raise ValueError(f"no elements in domains {list(domain_ids)}")
+            for did, blk in blocks:
+                if blk.dim != kernel.params.dimension:
+                    raise ValueError(
+                        f"domain kernel of dimension {kernel.params.dimension} cannot run on "
+                        f"{blk.dim}D elements of domain {did}"
+                    )
+                qo = options.quadrature_order(blk.order)
+                tab = domain_tables(blk.element_type, blk.order, qo)
+                yield tab, blk.vertices, blk.nodes
+
+    # -- Dirichlet values (``AssembledSystem.hpp:158-286`` analog) ------------
+
+    def set_dirichlet_bc_values(self, kernel_or_values, boundaries=None, dof_inds=None, field_access=None, time=0.0):
+        """Set Dirichlet values from a boundary residual kernel (averaged at
+        nodes) or directly from an array matching the Dirichlet dof list."""
+        if boundaries is None:  # raw array
+            vals = jnp.asarray(kernel_or_values, self.dtype).reshape(-1, self.n_rhs)
+            if vals.shape[0] != len(self.dirichlet_dofs):
+                raise ValueError("value array length != number of Dirichlet dofs")
+            self.dirichlet_values = vals
+            self._effective_rhs = None
+            return
+        from .values_at_nodes import compute_boundary_values_at_nodes
+
+        kernel = kernel_or_values
+        dof_inds = tuple(dof_inds) if dof_inds is not None else tuple(range(kernel.params.n_equations))
+        vals, mask = compute_boundary_values_at_nodes(
+            kernel, self.mesh, boundaries, field_access, time, self.dtype
+        )  # (n_nodes, n_eq, n_rhs)
+        mask_np = np.asarray(mask)
+        nodes = np.nonzero(mask_np)[0]
+        for i, di in enumerate(dof_inds):
+            dofs = self.dofmap.node_dof[nodes, di]
+            ok = dofs >= 0
+            pos = np.searchsorted(self.dirichlet_dofs, dofs[ok])
+            valid = pos < len(self.dirichlet_dofs)
+            pos = pos[valid]
+            sel = np.nonzero(ok)[0][valid]
+            hit = self.dirichlet_dofs[pos] == dofs[ok][valid]
+            self.dirichlet_values = self.dirichlet_values.at[pos[hit]].set(
+                vals[jnp.asarray(nodes[sel][hit]), i, :]
+            )
+        self._effective_rhs = None
+
+    # -- solve-side interface --------------------------------------------------
+
+    def dirichlet_extension(self) -> jnp.ndarray:
+        """g_ext: zeros with Dirichlet values on Dirichlet dofs; (n_dofs, n_rhs)."""
+        g = jnp.zeros((self.n_dofs, self.n_rhs), self.dtype)
+        if len(self.dirichlet_dofs):
+            g = g.at[jnp.asarray(self.dirichlet_dofs)].set(self.dirichlet_values)
+        return g
+
+    def operator(self):
+        """Constrained SPD operator: y = free*A(free*x) + dir*x."""
+        raw = self.raw_operator()
+        free = self.free_mask
+
+        def apply(x):
+            xm = x * free[:, None]
+            return raw(xm) * free[:, None] + x * (1.0 - free)[:, None]
+
+        return apply
+
+    def effective_rhs(self) -> jnp.ndarray:
+        if self._effective_rhs is None:
+            raw = self.raw_operator()
+            g = self.dirichlet_extension()
+            free = self.free_mask[:, None]
+            self._effective_rhs = free * (self.rhs - raw(g)) + g
+        return self._effective_rhs
+
+    def solution_vector(self) -> jnp.ndarray:
+        return self.x
+
+    def set_solution_vector(self, x: jnp.ndarray) -> None:
+        self.x = x.reshape(self.n_dofs, self.n_rhs)
+
+    def solve(self, solver):
+        """Run a solver object; returns its IterSolveResult."""
+        return solver.solve(self)
+
+    def update_solution(self, dof_inds, solution_manager, slot_inds, rhs_index: int = 0) -> None:
+        """Copy solution components into SolutionManager slots (nodal layout)."""
+        dof_inds = np.asarray(list(dof_inds), dtype=np.int64)
+        slot_inds = np.asarray(list(slot_inds), dtype=np.int64)
+        if len(dof_inds) != len(slot_inds):
+            raise ValueError("dof_inds and slot_inds must have equal length")
+        nd = self.dofmap.node_dof[:, dof_inds]  # (n_nodes, k)
+        has = nd >= 0
+        safe = np.where(has, nd, 0)
+        vals = self.x[jnp.asarray(safe), rhs_index]
+        vals = jnp.where(jnp.asarray(has), vals, 0.0)
+        sm_vals = solution_manager.values.at[:, jnp.asarray(slot_inds)].set(
+            vals.astype(solution_manager.dtype)
+        )
+        solution_manager.values = sm_vals
+
+    def describe(self) -> str:
+        s = (
+            f"{type(self).__name__}: {self.n_dofs} dofs, {self.n_rhs} rhs, "
+            f"{len(self.dirichlet_dofs)} Dirichlet dofs, dtype={jnp.dtype(self.dtype).name}"
+        )
+        return s
+
+    # subclass hooks
+    def _begin_impl(self) -> None:
+        raise NotImplementedError
+
+    def _end_impl(self) -> None:
+        raise NotImplementedError
+
+    def _add_contribution(self, c: _Contribution) -> None:
+        raise NotImplementedError
+
+    def raw_operator(self):
+        raise NotImplementedError
+
+    def diagonal(self) -> jnp.ndarray:
+        raise NotImplementedError
+
+
+def _contribution_geometry(c: _Contribution, dtype):
+    geom = element_geometry(c.tables, jnp.asarray(c.verts, dtype))
+    fv = fd = None
+    if c.field_access is not None:
+        fa, nodes = c.field_access
+        nodal = fa.gather(nodes).astype(dtype)
+        fv, fd = eval_fields(c.tables, geom, nodal)
+    return geom, fv, fd
+
+
+class AssembledSystem(_SystemBase):
+    """Explicit CSR system (``algsys/AssembledSystem.hpp``)."""
+
+    def __init__(self, mesh, problem, bc_def=None, params=AlgebraicSystemParams(), dtype=None):
+        super().__init__(mesh, problem, bc_def, params, dtype)
+        self._build_sparsity()
+        self.data = jnp.zeros(self.nnz, self.dtype)
+        self._pos_cache: dict = {}
+
+    # -- sparsity (``algsys/SparsityGraph.hpp`` analog, host-side) ------------
+
+    def _build_sparsity(self) -> None:
+        keys_parts = [np.arange(self.n_dofs, dtype=np.int64) * self.n_dofs + np.arange(self.n_dofs)]
+        for domain_ids, mask in self.problem.entries:
+            dof_cols = np.nonzero(mask)[0]
+            for _, blk in self.mesh.blocks(domain_ids):
+                dofs = self.dofmap.node_dof[blk.nodes][:, :, dof_cols].reshape(blk.n_elements, -1)
+                dofs = dofs[:, (dofs >= 0).all(axis=0)] if (dofs < 0).any() else dofs
+                L = dofs.shape[1]
+                # process in element chunks to bound memory
+                chunk = max(1, 2**22 // max(L * L, 1))
+                for s in range(0, dofs.shape[0], chunk):
+                    d = dofs[s : s + chunk]
+                    r = np.repeat(d, L, axis=1).reshape(-1)
+                    ccol = np.tile(d, (1, L)).reshape(-1)
+                    keys_parts.append(np.unique(r * self.n_dofs + ccol))
+        keys = np.unique(np.concatenate(keys_parts))
+        self._keys = keys
+        self.nnz = len(keys)
+        self._rows = (keys // self.n_dofs).astype(np.int64)
+        self._cols = (keys % self.n_dofs).astype(np.int64)
+        self._diag_pos = np.searchsorted(keys, np.arange(self.n_dofs, dtype=np.int64) * (self.n_dofs + 1))
+        self._rows_dev = jnp.asarray(self._rows, jnp.int32)
+        self._cols_dev = jnp.asarray(self._cols, jnp.int32)
+
+    def _scatter_positions(self, elem_dofs: np.ndarray) -> np.ndarray:
+        key = elem_dofs.tobytes()
+        hit = self._pos_cache.get(key)
+        if hit is not None:
+            return hit
+        E = elem_dofs.shape[0]
+        flat = elem_dofs.reshape(E, -1)
+        L = flat.shape[1]
+        k = flat[:, :, None] * self.n_dofs + flat[:, None, :]
+        pos = np.searchsorted(self._keys, k.reshape(-1)).reshape(E, L, L)
+        if not np.array_equal(self._keys[pos.reshape(-1)], k.reshape(-1)):
+            raise RuntimeError("element couples dofs outside the sparsity pattern")
+        self._pos_cache[key] = pos
+        return pos
+
+    def _begin_impl(self) -> None:
+        self.data = jnp.zeros(self.nnz, self.dtype)
+
+    def _end_impl(self) -> None:
+        pass
+
+    def _add_contribution(self, c: _Contribution) -> None:
+        geom, fv, fd = _contribution_geometry(c, self.dtype)
+        K, F = local_system(c.kernel, c.tables, geom, fv, fd, c.time, self.dtype)
+        pos = self._scatter_positions(c.elem_dofs)
+        self.data = self.data.at[jnp.asarray(pos.reshape(-1))].add(K.reshape(-1))
+        self.rhs = self.rhs.at[jnp.asarray(c.elem_dofs.reshape(-1))].add(
+            F.reshape(-1, self.n_rhs)
+        )
+
+    def raw_operator(self):
+        data, cols, rows, n = self.data, self._cols_dev, self._rows_dev, self.n_dofs
+
+        def apply(x):
+            return jax.ops.segment_sum(
+                data[:, None] * x[cols], rows, num_segments=n, indices_are_sorted=True
+            )
+
+        return apply
+
+    def diagonal(self) -> jnp.ndarray:
+        d = self.data[jnp.asarray(self._diag_pos)]
+        # constrained operator has unit diagonal on Dirichlet dofs
+        return d * self.free_mask + (1.0 - self.free_mask)
+
+    def eliminated_csr(self):
+        """CSR of the Dirichlet-eliminated matrix (for direct solvers)."""
+        free = jnp.asarray(self._free_np)
+        keep = free[self._rows_dev.astype(jnp.int64)] & free[self._cols_dev.astype(jnp.int64)]
+        data = jnp.where(keep, self.data, 0.0)
+        data = data.at[jnp.asarray(self._diag_pos)].add(1.0 - self.free_mask)
+        counts = np.bincount(self._rows, minlength=self.n_dofs)
+        indptr = np.concatenate([[0], np.cumsum(counts)])
+        return data, self._cols, indptr, self.n_dofs
+
+    def describe(self) -> str:
+        return super().describe() + f", nnz={self.nnz}"
+
+
+class MatrixFreeSystem(_SystemBase):
+    """Operator-only system (``algsys/MatrixFreeSystem.hpp``)."""
+
+    def __init__(self, mesh, problem, bc_def=None, params=AlgebraicSystemParams(), dtype=None):
+        super().__init__(mesh, problem, bc_def, params, dtype)
+        self._contribs: list[_Contribution] = []
+        self._diag = None
+
+    def _begin_impl(self) -> None:
+        self._contribs = []
+        self._diag = None
+
+    def _add_contribution(self, c: _Contribution) -> None:
+        self._contribs.append(c)
+
+    def _end_impl(self) -> None:
+        # rhs and diagonal in one pass (``MatrixFreeSystem.hpp:887-941``)
+        rhs = self.rhs
+        diag = jnp.zeros((self.n_dofs,), self.dtype)
+        for c in self._contribs:
+            geom, fv, fd = _contribution_geometry(c, self.dtype)
+            A, f = eval_equation_kernel(c.kernel, geom, fv, fd, c.time, self.dtype)
+            B = _basis_stack(c.tables, geom, self.dtype)
+            F = local_rhs(A, B, geom.weights, f)  # (E, n_nodes, n_unk, n_rhs)
+            d = local_diagonal(A, B, geom.weights)
+            idx = jnp.asarray(c.elem_dofs.reshape(-1))
+            rhs = rhs.at[idx].add(F.reshape(-1, self.n_rhs))
+            diag = diag.at[idx].add(d.reshape(-1))
+        self.rhs = rhs
+        self._diag = diag
+
+    def raw_operator(self):
+        contribs = list(self._contribs)
+        dtype = self.dtype
+        n = self.n_dofs
+
+        def apply(x):
+            y = jnp.zeros_like(x)
+            for c in contribs:
+                geom, fv, fd = _contribution_geometry(c, dtype)
+                A, _ = eval_equation_kernel(c.kernel, geom, fv, fd, c.time, dtype)
+                B = _basis_stack(c.tables, geom, dtype)
+                E, n_nodes, n_unk = c.elem_dofs.shape
+                idx = jnp.asarray(c.elem_dofs.reshape(E, n_nodes * n_unk))
+                for r in range(x.shape[1]):
+                    x_loc = x[idx, r].reshape(E, n_nodes, n_unk)
+                    y_loc = local_apply_direct(A, B, geom.weights, x_loc)
+                    y = y.at[idx.reshape(-1), r].add(y_loc.reshape(-1))
+            return y
+
+        return apply
+
+    def diagonal(self) -> jnp.ndarray:
+        if self._diag is None:
+            raise RuntimeError("diagonal available after end_assembly")
+        return self._diag * self.free_mask + (1.0 - self.free_mask)
+
+    def describe(self) -> str:
+        return super().describe() + f", {len(self._contribs)} matrix-free contributions"
+
+
+def make_algebraic_system(
+    mesh: Mesh,
+    problem: ProblemDefinition,
+    bc_def: BCDefinition | None = None,
+    params: AlgebraicSystemParams = AlgebraicSystemParams(),
+    dtype=None,
+):
+    """Factory dispatching on the evaluation strategy
+    (``algsys/MakeAlgebraicSystem.hpp:9-46``)."""
+    if params.eval_strategy == OperatorEvaluationStrategy.MATRIX_FREE:
+        if params.cond_policy != CondensationPolicy.NONE:
+            raise ValueError("matrix-free evaluation cannot be combined with static condensation")
+        return MatrixFreeSystem(mesh, problem, bc_def, params, dtype)
+    return AssembledSystem(mesh, problem, bc_def, params, dtype)

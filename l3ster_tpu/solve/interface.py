@@ -1,0 +1,25 @@
+"""Solver interface types, analog of ``solve/SolverInterface.hpp``."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+__all__ = ["IterSolverOpts", "IterSolveResult"]
+
+
+@dataclass(frozen=True)
+class IterSolverOpts:
+    """Options for iterative solvers (``solve/SolverInterface.hpp:26-37``)."""
+
+    tol: float = 1e-10
+    max_iters: int = 1000
+    restart: int = 50  # GMRES restart length
+    verbosity: int = 0
+
+
+@dataclass(frozen=True)
+class IterSolveResult:
+    """Outcome of an iterative solve (``solve/SolverInterface.hpp:39-43``)."""
+
+    tol: float  # achieved relative residual (max over right-hand sides)
+    num_iters: int

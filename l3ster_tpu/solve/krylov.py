@@ -1,0 +1,143 @@
+"""Krylov solvers in pure JAX.
+
+Analogs of the Belos-backed CG / GMRES (``solve/BelosSolvers.hpp:116-127``),
+re-implemented as jit-compiled ``lax.while_loop`` iterations.  The operator is
+any linear callable on (n_dofs, n_rhs) multivectors; dot products are plain
+``jnp`` reductions, so under sharding XLA lowers them to ``psum`` collectives
+over the device mesh (the analog of the reference's MPI allreduce per
+iteration).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .interface import IterSolveResult, IterSolverOpts
+from .precond import Identity
+
+__all__ = ["cg_solve", "gmres_solve", "CG", "Gmres"]
+
+
+def _col_dots(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Per-column inner products of (n, n_rhs) multivectors -> (n_rhs,)."""
+    return jnp.sum(a * b, axis=0)
+
+
+def cg_solve(operator, b, x0=None, precond=None, tol=1e-10, max_iters=1000):
+    """Preconditioned conjugate gradients on an SPD operator; multivector RHS.
+
+    Each right-hand-side column iterates with its own step lengths (the
+    analog of Belos "Block CG" pseudo-block mode).  Returns (x, n_iters,
+    achieved relative residual).
+    """
+    b = jnp.atleast_2d(b.T).T if b.ndim == 1 else b
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    M = precond if precond is not None else (lambda r: r)
+
+    bnorm = jnp.sqrt(_col_dots(b, b))
+    bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
+
+    r0 = b - operator(x0)
+    z0 = M(r0)
+    rz0 = _col_dots(r0, z0)
+
+    def cond(state):
+        x, r, z, p, rz, it = state
+        res = jnp.sqrt(_col_dots(r, r)) / bnorm
+        return jnp.logical_and(it < max_iters, jnp.max(res) > tol)
+
+    def body(state):
+        x, r, z, p, rz, it = state
+        Ap = operator(p)
+        pAp = _col_dots(p, Ap)
+        alpha = jnp.where(pAp != 0, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
+        x = x + alpha[None, :] * p
+        r = r - alpha[None, :] * Ap
+        z = M(r)
+        rz_new = _col_dots(r, z)
+        beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        p = z + beta[None, :] * p
+        return (x, r, z, p, rz_new, it + 1)
+
+    state = (x0, r0, z0, z0, rz0, jnp.asarray(0))
+    x, r, _, _, _, it = jax.lax.while_loop(cond, body, state)
+    res = jnp.max(jnp.sqrt(_col_dots(r, r)) / bnorm)
+    return x, it, res
+
+
+def gmres_solve(operator, b, x0=None, precond=None, tol=1e-10, max_iters=1000, restart=50):
+    """Restarted GMRES via jax.scipy (left-preconditioned), column by column."""
+    from jax.scipy.sparse.linalg import gmres as jax_gmres
+
+    b2 = b[:, None] if b.ndim == 1 else b
+    x0 = jnp.zeros_like(b2) if x0 is None else (x0[:, None] if x0.ndim == 1 else x0)
+    M = precond if precond is not None else (lambda r: r)
+
+    cols = []
+    for j in range(b2.shape[1]):
+        bj = b2[:, j : j + 1]
+        op1 = lambda v: operator(v)
+        xj, _ = jax_gmres(
+            op1,
+            bj,
+            x0=x0[:, j : j + 1],
+            tol=tol,
+            atol=0.0,
+            restart=restart,
+            maxiter=max(1, max_iters // max(restart, 1)),
+            M=M,
+            solve_method="batched",
+        )
+        cols.append(xj)
+    x = jnp.concatenate(cols, axis=1)
+    r = b2 - operator(x)
+    bn = jnp.sqrt(_col_dots(b2, b2))
+    res = jnp.max(jnp.sqrt(_col_dots(r, r)) / jnp.where(bn > 0, bn, 1.0))
+    return (x[:, 0] if b.ndim == 1 else x), jnp.asarray(-1), res
+
+
+@dataclass
+class CG:
+    """User-facing CG solver (``solve/BelosSolvers.hpp:116``)."""
+
+    opts: IterSolverOpts = field(default_factory=IterSolverOpts)
+    precond: object = field(default_factory=Identity)
+
+    def solve(self, system) -> IterSolveResult:
+        op = system.operator()
+        M = self.precond.setup(system)
+        b = system.effective_rhs()
+        solve_fn = jax.jit(
+            partial(cg_solve, op, precond=M, tol=self.opts.tol, max_iters=self.opts.max_iters)
+        )
+        x, it, res = solve_fn(b, system.solution_vector())
+        system.set_solution_vector(x)
+        return IterSolveResult(tol=float(res), num_iters=int(it))
+
+
+@dataclass
+class Gmres:
+    """User-facing restarted GMRES solver (``solve/BelosSolvers.hpp:124``)."""
+
+    opts: IterSolverOpts = field(default_factory=IterSolverOpts)
+    precond: object = field(default_factory=Identity)
+
+    def solve(self, system) -> IterSolveResult:
+        op = system.operator()
+        M = self.precond.setup(system)
+        b = system.effective_rhs()
+        x, it, res = gmres_solve(
+            op,
+            b,
+            x0=system.solution_vector(),
+            precond=M,
+            tol=self.opts.tol,
+            max_iters=self.opts.max_iters,
+            restart=self.opts.restart,
+        )
+        system.set_solution_vector(x)
+        return IterSolveResult(tol=float(res), num_iters=int(it))
