@@ -111,22 +111,34 @@ class ElementGeometry:
     phys_ders: jnp.ndarray  # (E, Q, dim, n_nodes)
     weights: jnp.ndarray  # (E, Q) quadrature weight * measure
     normals: jnp.ndarray | None = None  # (E, Q, dim) for boundary tables
+    jac_inv: jnp.ndarray | None = None  # (E, Q, dim, dim) inverse Jacobian
 
 
-def element_geometry(tables: DomainTables, verts: jnp.ndarray, dtype=None) -> ElementGeometry:
-    """Batched geometry for a block: verts (E, n_verts, 3)."""
+def element_geometry(
+    tables: DomainTables, verts: jnp.ndarray, dtype=None, with_phys_ders: bool = True
+) -> ElementGeometry:
+    """Batched geometry for a block: verts (E, n_verts, 3).
+
+    ``with_phys_ders=False`` skips materializing the (E, Q, dim, n_nodes)
+    physical-derivative tables (the sum-factorized path transforms reference
+    derivatives per QP with ``jac_inv`` instead).
+    """
+    from ..mapping.geometry import small_det, small_inv
+
     dtype = dtype or verts.dtype
     dim = tables.dim
     verts = jnp.asarray(verts, dtype)
     gd = jnp.asarray(tables.geom_ders, dtype)
     gv = jnp.asarray(tables.geom_values, dtype)
     J = jax.vmap(lambda v: jacobians(gd, v[:, :dim]))(verts)  # (E, Q, dim, dim)
-    physD = jax.vmap(lambda Je: physical_basis_derivatives(Je, jnp.asarray(tables.ref_ders, dtype)))(J)
+    Jinv = small_inv(J)
+    physD = None
+    if with_phys_ders:
+        # physD[i, n] = sum_j Jinv[j, i] refD[j, n]  (= J^-T refD)
+        physD = jnp.einsum("eqji,qjn->eqin", Jinv, jnp.asarray(tables.ref_ders, dtype))
     xyz = jnp.einsum("qv,evi->eqi", gv, verts)  # full 3-coordinate physical point
     w = jnp.asarray(tables.weights, dtype)
     if tables.side is None:
-        from ..mapping.geometry import small_det
-
         detJ = jnp.abs(small_det(J))
         weights = w[None, :] * detJ
         normals = None
@@ -135,7 +147,9 @@ def element_geometry(tables: DomainTables, verts: jnp.ndarray, dtype=None) -> El
             lambda Je: boundary_normals_and_measure(Je, tables.element_type, tables.side)
         )(J)
         weights = w[None, :] * dA
-    return ElementGeometry(xyz=xyz, phys_ders=physD, weights=weights, normals=normals)
+    return ElementGeometry(
+        xyz=xyz, phys_ders=physD, weights=weights, normals=normals, jac_inv=Jinv
+    )
 
 
 def eval_fields(
@@ -308,3 +322,36 @@ def local_diagonal(A: jnp.ndarray, B: jnp.ndarray, weights: jnp.ndarray) -> jnp.
     """diag(K_e) (E, n_nodes, n_unk): sum_q w_q sum_i M[q,i,(n,u)]^2."""
     M = jnp.einsum("eqdiu,eqdn->eqinu", A, B)
     return jnp.einsum("eq,eqinu,eqinu->enu", weights, M, M)
+
+
+def local_apply_sumfact(
+    A: jnp.ndarray,
+    geom: ElementGeometry,
+    order: int,
+    q_order: int,
+    dim: int,
+    x_loc: jnp.ndarray,
+) -> jnp.ndarray:
+    """Sum-factorized matrix-free local apply for Quad/Hex elements.
+
+    Mathematically identical to :func:`local_apply_direct`, but the
+    nodes<->QPs interpolation runs as 1D tensor contractions
+    (``algsys/SumFactorization.hpp:890-917``).  Reference-space derivatives
+    are mapped with ``geom.jac_inv`` per QP, so non-affine elements are exact.
+    """
+    from ..ops.sumfact import sumfact_interpolate, sumfact_tables_1d, sumfact_transpose
+
+    N1, D1, _ = sumfact_tables_1d(order, q_order)
+    N1 = jnp.asarray(N1, x_loc.dtype)
+    D1 = jnp.asarray(D1, x_loc.dtype)
+    Jinv = geom.jac_inv
+
+    vals, rders = sumfact_interpolate(x_loc, N1, D1, dim)  # (E,Q,c), (E,dim,Q,c)
+    pders = jnp.einsum("eqji,ejqc->eqic", Jinv, rders)  # physical-space ders (E,Q,dim,c)
+    g = jnp.concatenate([vals[:, :, None, :], pders], axis=2)  # (E,Q,dim+1,c)
+    r = jnp.einsum("eqdiu,eqdu->eqi", A, g)
+    rw = r * geom.weights[:, :, None]
+    t = jnp.einsum("eqdiu,eqi->eqdu", A, rw)  # (E,Q,dim+1,c)
+    t0 = t[:, :, 0, :]
+    t_ref = jnp.einsum("eqji,eqiu->ejqu", Jinv, t[:, :, 1:, :])  # back to ref space
+    return sumfact_transpose(t0, t_ref, N1, D1, dim)

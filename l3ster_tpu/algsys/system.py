@@ -296,8 +296,8 @@ class _SystemBase:
         raise NotImplementedError
 
 
-def _contribution_geometry(c: _Contribution, dtype):
-    geom = element_geometry(c.tables, jnp.asarray(c.verts, dtype))
+def _contribution_geometry(c: _Contribution, dtype, with_phys_ders: bool = True):
+    geom = element_geometry(c.tables, jnp.asarray(c.verts, dtype), with_phys_ders=with_phys_ders)
     fv = fd = None
     if c.field_access is not None:
         fa, nodes = c.field_access
@@ -431,22 +431,46 @@ class MatrixFreeSystem(_SystemBase):
         self.rhs = rhs
         self._diag = diag
 
+    def _use_sumfact(self, c: _Contribution) -> bool:
+        from ..common.enums import LocalEvalStrategy
+        from ..ops.sumfact import supports_sumfact
+
+        strat = c.options.eval_strategy
+        if c.tables.side is not None:  # boundary contributions are direct
+            return False
+        if strat == LocalEvalStrategy.DIRECT:
+            return False
+        if strat == LocalEvalStrategy.SUM_FACT:
+            if not supports_sumfact(c.tables.element_type):
+                raise ValueError("sum factorization requires tensor-product Quad/Hex elements")
+            return True
+        return supports_sumfact(c.tables.element_type) and c.tables.order >= 2
+
     def raw_operator(self):
+        from .local import local_apply_sumfact
+
         contribs = list(self._contribs)
         dtype = self.dtype
-        n = self.n_dofs
 
         def apply(x):
             y = jnp.zeros_like(x)
             for c in contribs:
-                geom, fv, fd = _contribution_geometry(c, dtype)
+                use_sf = self._use_sumfact(c)
+                geom, fv, fd = _contribution_geometry(c, dtype, with_phys_ders=not use_sf or c.field_access is not None)
                 A, _ = eval_equation_kernel(c.kernel, geom, fv, fd, c.time, dtype)
-                B = _basis_stack(c.tables, geom, dtype)
                 E, n_nodes, n_unk = c.elem_dofs.shape
                 idx = jnp.asarray(c.elem_dofs.reshape(E, n_nodes * n_unk))
+                if not use_sf:
+                    B = _basis_stack(c.tables, geom, dtype)
                 for r in range(x.shape[1]):
                     x_loc = x[idx, r].reshape(E, n_nodes, n_unk)
-                    y_loc = local_apply_direct(A, B, geom.weights, x_loc)
+                    if use_sf:
+                        q_order = c.options.quadrature_order(c.tables.order)
+                        y_loc = local_apply_sumfact(
+                            A, geom, c.tables.order, q_order, c.tables.dim, x_loc
+                        )
+                    else:
+                        y_loc = local_apply_direct(A, B, geom.weights, x_loc)
                     y = y.at[idx.reshape(-1), r].add(y_loc.reshape(-1))
             return y
 
