@@ -324,6 +324,75 @@ def local_diagonal(A: jnp.ndarray, B: jnp.ndarray, weights: jnp.ndarray) -> jnp.
     return jnp.einsum("eq,eqinu,eqinu->enu", weights, M, M)
 
 
+def local_rhs_sumfact(
+    A: jnp.ndarray,
+    geom: ElementGeometry,
+    order: int,
+    q_order: int,
+    dim: int,
+    f: jnp.ndarray,
+) -> jnp.ndarray:
+    """F_e = sum_q w_q M_q^T f_q via the transpose sweep; (E, n_nodes, n_unk, n_rhs).
+
+    Never materializes basis tables over elements (unlike :func:`local_rhs`).
+    """
+    from ..ops.sumfact import sumfact_tables_1d, sumfact_transpose
+
+    N1, D1, _ = sumfact_tables_1d(order, q_order)
+    N1 = jnp.asarray(N1, f.dtype)
+    D1 = jnp.asarray(D1, f.dtype)
+    Jinv = geom.jac_inv
+    fw = f * geom.weights[:, :, None, None]  # (E,Q,n_eq,n_rhs)
+    outs = []
+    for r in range(f.shape[-1]):
+        t = jnp.einsum("eqdiu,eqi->eqdu", A, fw[..., r])  # (E,Q,dim+1,u)
+        t0 = t[:, :, 0, :]
+        t_ref = jnp.einsum("eqji,eqiu->ejqu", Jinv, t[:, :, 1:, :])
+        outs.append(sumfact_transpose(t0, t_ref, N1, D1, dim))
+    return jnp.stack(outs, axis=-1)
+
+
+def local_diagonal_sumfact(
+    A: jnp.ndarray,
+    geom: ElementGeometry,
+    order: int,
+    q_order: int,
+    dim: int,
+) -> jnp.ndarray:
+    """diag(K_e) (E, n_nodes, n_unk) without materializing M or basis stacks.
+
+    Uses the reference-space expansion diag = sum_{j,k} G_jk (x) (Bhat_j o
+    Bhat_k), where G_jk[q, u] = sum_i Ahat_j[q, i, u] Ahat_k[q, i, u] with
+    Ahat_0 = A_0, Ahat_j = sum_d A_d Jinv[j, d], and the elementwise basis
+    products Bhat_j o Bhat_k factorize into per-axis N1/D1 products.
+    """
+    from ..ops.sumfact import sumfact_tables_1d, sumfact_transpose_general
+
+    N1np, D1np, _ = sumfact_tables_1d(order, q_order)
+    dt = A.dtype
+    N1, D1 = jnp.asarray(N1np, dt), jnp.asarray(D1np, dt)
+    Jinv = geom.jac_inv  # (E,Q,dim,dim)
+    # Ahat (E,Q,dim+1,n_eq,n_unk) in reference space
+    Ahat0 = A[:, :, :1]
+    Ahatd = jnp.einsum("eqjd,eqdiu->eqjiu", Jinv, A[:, :, 1:])
+    Ahat = jnp.concatenate([Ahat0, Ahatd], axis=2)
+    G = jnp.einsum("eqjiu,eqkiu->eqjku", Ahat, Ahat)  # (E,Q,d1,d1,u)
+    Gw = G * geom.weights[:, :, None, None, None]
+    NN = N1 * N1
+    ND = N1 * D1
+    DD = D1 * D1
+    out = 0.0
+    for j in range(dim + 1):
+        for k in range(j, dim + 1):
+            tabs = []
+            for a in range(dim):
+                both = (j == a + 1) + (k == a + 1)
+                tabs.append(DD if both == 2 else (ND if both == 1 else NN))
+            s = Gw[:, :, j, k, :] * (1.0 if j == k else 2.0)
+            out = out + sumfact_transpose_general(s, tabs, dim)
+    return out
+
+
 def local_apply_sumfact(
     A: jnp.ndarray,
     geom: ElementGeometry,

@@ -59,6 +59,8 @@ class _Contribution:
     field_access: object | None
     time: float
     options: AssemblyOptions
+    block: object = None  # source ElementBlock
+    elem_sel: np.ndarray | None = None  # indices into the block (boundary views)
 
 
 class _SystemBase:
@@ -136,7 +138,7 @@ class _SystemBase:
             )
 
         for bucket in self._buckets(kernel, domain_ids, options):
-            tables, verts, nodes = bucket
+            tables, verts, nodes, block, sel = bucket
             elem_dofs = self.dofmap.element_dofs(nodes, dof_inds)
             if (elem_dofs < 0).any():
                 raise ValueError(
@@ -151,11 +153,13 @@ class _SystemBase:
                     field_access=(field_access, nodes) if field_access is not None else None,
                     time=time,
                     options=options,
+                    block=block,
+                    elem_sel=sel,
                 )
             )
 
     def _buckets(self, kernel, domain_ids, options: AssemblyOptions):
-        """Yield (tables, verts, nodes) for each element bucket to assemble."""
+        """Yield (tables, verts, nodes, block, sel) for each bucket to assemble."""
         if kernel.is_boundary:
             found = False
             for bid in domain_ids:
@@ -166,7 +170,8 @@ class _SystemBase:
                     blk = bv.parent_block
                     qo = options.quadrature_order(blk.order)
                     tab = side_tables(blk.element_type, blk.order, bv.side, qo)
-                    yield tab, blk.vertices[bv.element_indices], blk.nodes[bv.element_indices]
+                    sel = bv.element_indices
+                    yield tab, blk.vertices[sel], blk.nodes[sel], blk, sel
                     found = True
             if not found:
                 raise ValueError(f"no boundary facets in domains {list(domain_ids)}")
@@ -182,7 +187,7 @@ class _SystemBase:
                     )
                 qo = options.quadrature_order(blk.order)
                 tab = domain_tables(blk.element_type, blk.order, qo)
-                yield tab, blk.vertices, blk.nodes
+                yield tab, blk.vertices, blk.nodes, blk, None
 
     # -- Dirichlet values (``AssembledSystem.hpp:158-286`` analog) ------------
 
@@ -243,7 +248,7 @@ class _SystemBase:
             raw = self.raw_operator()
             g = self.dirichlet_extension()
             free = self.free_mask[:, None]
-            self._effective_rhs = free * (self.rhs - raw(g)) + g
+            self._effective_rhs = jax.jit(lambda g, rhs: free * (rhs - raw(g)) + g)(g, self.rhs)
         return self._effective_rhs
 
     def solution_vector(self) -> jnp.ndarray:
@@ -416,20 +421,32 @@ class MatrixFreeSystem(_SystemBase):
         self._contribs.append(c)
 
     def _end_impl(self) -> None:
-        # rhs and diagonal in one pass (``MatrixFreeSystem.hpp:887-941``)
-        rhs = self.rhs
-        diag = jnp.zeros((self.n_dofs,), self.dtype)
-        for c in self._contribs:
-            geom, fv, fd = _contribution_geometry(c, self.dtype)
-            A, f = eval_equation_kernel(c.kernel, geom, fv, fd, c.time, self.dtype)
-            B = _basis_stack(c.tables, geom, self.dtype)
-            F = local_rhs(A, B, geom.weights, f)  # (E, n_nodes, n_unk, n_rhs)
-            d = local_diagonal(A, B, geom.weights)
-            idx = jnp.asarray(c.elem_dofs.reshape(-1))
-            rhs = rhs.at[idx].add(F.reshape(-1, self.n_rhs))
-            diag = diag.at[idx].add(d.reshape(-1))
-        self.rhs = rhs
-        self._diag = diag
+        # rhs and diagonal in one jitted pass (``MatrixFreeSystem.hpp:887-941``)
+        from .local import local_diagonal_sumfact, local_rhs_sumfact
+
+        def compute(rhs0):
+            rhs = rhs0
+            diag = jnp.zeros((self.n_dofs,), self.dtype)
+            for c in self._contribs:
+                use_sf = self._use_sumfact(c)
+                geom, fv, fd = _contribution_geometry(
+                    c, self.dtype, with_phys_ders=not use_sf or c.field_access is not None
+                )
+                A, f = eval_equation_kernel(c.kernel, geom, fv, fd, c.time, self.dtype)
+                if use_sf:
+                    q_order = c.options.quadrature_order(c.tables.order)
+                    F = local_rhs_sumfact(A, geom, c.tables.order, q_order, c.tables.dim, f)
+                    d = local_diagonal_sumfact(A, geom, c.tables.order, q_order, c.tables.dim)
+                else:
+                    B = _basis_stack(c.tables, geom, self.dtype)
+                    F = local_rhs(A, B, geom.weights, f)  # (E, n_nodes, n_unk, n_rhs)
+                    d = local_diagonal(A, B, geom.weights)
+                idx = jnp.asarray(c.elem_dofs.reshape(-1))
+                rhs = rhs.at[idx].add(F.reshape(-1, self.n_rhs))
+                diag = diag.at[idx].add(d.reshape(-1))
+            return rhs, diag
+
+        self.rhs, self._diag = jax.jit(compute)(self.rhs)
 
     def _use_sumfact(self, c: _Contribution) -> bool:
         from ..common.enums import LocalEvalStrategy

@@ -27,7 +27,13 @@ from ..math.gauss import gauss_legendre
 from ..math.lagrange import lagrange_derivatives, lagrange_values
 from ..mesh.traits import ElementType, native_dim
 
-__all__ = ["sumfact_tables_1d", "sumfact_interpolate", "sumfact_transpose", "supports_sumfact"]
+__all__ = [
+    "sumfact_tables_1d",
+    "sumfact_interpolate",
+    "sumfact_transpose",
+    "sumfact_transpose_general",
+    "supports_sumfact",
+]
 
 
 @lru_cache(maxsize=None)
@@ -155,3 +161,28 @@ def sumfact_transpose(t0: jnp.ndarray, td: jnp.ndarray, N1: jnp.ndarray, D1: jnp
         yv = _contract_last(a, N1T) + _contract_last(adx, D1T)
         return yv.reshape(E, p1**3, c)
     raise ValueError(f"sum factorization supports dim 2/3, got {dim}")
+
+
+def sumfact_transpose_general(s: jnp.ndarray, axis_tables: list, dim: int) -> jnp.ndarray:
+    """Transpose sweep of a scalar QP field with arbitrary per-axis 1D tables.
+
+    s: (E, Q, c); axis_tables[a]: (n_q1, n_out) for axis a (a=0 is x).
+    Returns (E, prod(n_out), c) in lexicographic node order.  Used for the
+    sum-factorized operator diagonal, where the elementwise basis products
+    B_j * B_k factorize into per-axis products of N1/D1 tables.
+    """
+    E, Q, c = s.shape
+    nq = axis_tables[0].shape[0]
+    t = s.reshape((E,) + (nq,) * dim + (c,))  # (E, z, y, x, c)
+    if dim == 2:
+        Tx, Ty = axis_tables
+        a = jnp.swapaxes(_contract_last(jnp.swapaxes(t, 1, 2), Ty.T), 1, 2)
+        y = _contract_last(a, Tx.T)
+        return y.reshape(E, -1, c)
+    if dim == 3:
+        Tx, Ty, Tz = axis_tables
+        b = jnp.moveaxis(_contract_last(jnp.moveaxis(t, 1, 3), Tz.T), 3, 1)
+        a = jnp.swapaxes(_contract_last(jnp.swapaxes(b, 2, 3), Ty.T), 2, 3)
+        y = _contract_last(a, Tx.T)
+        return y.reshape(E, -1, c)
+    raise ValueError(f"dim must be 2 or 3, got {dim}")

@@ -1,0 +1,499 @@
+"""Distributed matrix-free system over a TPU device mesh.
+
+TPU-native re-design of the reference's MPI domain decomposition
+(``comm/DistributeMesh.hpp``, ``comm/ImportExport.hpp``,
+``util/SegmentedOwnership.hpp``): elements are partitioned across a 1D
+``jax.sharding.Mesh`` axis, every shard holds a local DOF vector laid out as
+``[owned | ghost | dump]`` (padded to a uniform size), and the halo exchange
+is ONE static ``lax.all_to_all`` per direction with precomputed pack/unpack
+index maps -- the compiled-collective equivalent of the reference's
+nonblocking Import/Export engine.  The whole CG iteration runs inside one
+jitted ``shard_map`` program, so XLA overlaps the collectives with element
+compute (the analog of the reference's interior/border TBB-arena overlap,
+``algsys/MatrixFreeSystem.hpp:1019-1140``, which here the compiler schedules).
+
+Solver-facing vectors keep ghosts and the dump slot at exactly zero, so the
+generic Krylov dots (plain jnp sums) are correct without ownership masks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..algsys.local import (
+    _basis_stack,
+    element_geometry,
+    eval_equation_kernel,
+    eval_fields,
+    local_apply_direct,
+    local_apply_sumfact,
+    local_diagonal,
+    local_rhs,
+)
+from ..algsys.system import _Contribution, _SystemBase
+from ..common.enums import OperatorEvaluationStrategy
+from ..common.problem import AlgebraicSystemParams
+from .partition import partition_mesh_elements
+
+__all__ = ["DistributedSystem", "make_distributed_system"]
+
+
+@dataclass
+class _ShardBucket:
+    """One contribution, stacked across shards (leading axis = shard)."""
+
+    kernel: object
+    tables: object
+    options: object
+    time: float
+    verts: np.ndarray  # (P, E_max, n_verts, 3)
+    local_idx: np.ndarray  # (P, E_max, n_nodes * n_unk) local dof slots
+    shape: tuple  # (n_nodes, n_unk)
+    fields: np.ndarray | None  # (P, E_max, n_nodes, n_fields) nodal field values
+
+
+class DistributedSystem(_SystemBase):
+    """Matrix-free system sharded over a device mesh axis."""
+
+    def __init__(
+        self,
+        mesh,
+        problem,
+        bc_def=None,
+        params: AlgebraicSystemParams = AlgebraicSystemParams(),
+        n_shards: int | None = None,
+        devices=None,
+        dtype=None,
+    ):
+        super().__init__(mesh, problem, bc_def, params, dtype)
+        devices = devices if devices is not None else jax.devices()
+        self.n_shards = int(n_shards or len(devices))
+        if self.n_shards > len(devices):
+            raise ValueError(f"requested {self.n_shards} shards but only {len(devices)} devices")
+        self.device_mesh = jax.sharding.Mesh(
+            np.asarray(devices[: self.n_shards]), ("shards",)
+        )
+        self._parts = partition_mesh_elements(mesh, self.n_shards, problem)
+        self._setup_ownership()
+        self._contribs: list[_ShardBucket] = []
+        self._diag = None
+        # re-shape solver-facing state to the stacked layout
+        P, L = self.n_shards, self.n_loc1
+        self.rhs = jnp.zeros((P, L, self.n_rhs), self.dtype)
+        self.x = jnp.zeros((P, L, self.n_rhs), self.dtype)
+
+    # -- ownership & communication pattern (SegmentedOwnership analog) --------
+
+    def _setup_ownership(self) -> None:
+        P = self.n_shards
+        nd = self.dofmap.node_dof
+        # dof set per shard = active dofs of the nodes of its local elements
+        shard_dofs: list[set] = [set() for _ in range(P)]
+        for _, blk in self.mesh.blocks():
+            part = self._parts[id(blk)]
+            dofs = nd[blk.nodes]  # (E, n, max_dofs)
+            for p in range(P):
+                sel = dofs[part == p]
+                if sel.size:
+                    shard_dofs[p].update(sel[sel >= 0].tolist())
+        owner = np.full(self.n_dofs, -1, dtype=np.int64)
+        for p in range(P - 1, -1, -1):  # min shard wins
+            idx = np.fromiter(shard_dofs[p], dtype=np.int64, count=len(shard_dofs[p]))
+            owner[idx] = p
+        if (owner < 0).any():
+            raise RuntimeError("some dofs belong to no shard")
+        self._owner = owner
+
+        owned_lists, ghost_lists, locals_g2l = [], [], []
+        for p in range(P):
+            mine = np.fromiter(shard_dofs[p], dtype=np.int64, count=len(shard_dofs[p]))
+            mine.sort()
+            own = mine[owner[mine] == p]
+            ghost = mine[owner[mine] != p]
+            owned_lists.append(own)
+            ghost_lists.append(ghost)
+        self._owned = owned_lists
+        self._ghost = ghost_lists
+        n_loc = max((len(o) + len(g)) for o, g in zip(owned_lists, ghost_lists))
+        self.n_loc1 = n_loc + 1  # +1 dump slot
+        self._dump = n_loc
+
+        # global -> (shard, local slot) for owners; per-shard global->local
+        self._g2l = []
+        for p in range(P):
+            m = {}
+            for i, g in enumerate(owned_lists[p]):
+                m[int(g)] = i
+            off = len(owned_lists[p])
+            for i, g in enumerate(ghost_lists[p]):
+                m[int(g)] = off + i
+            self._g2l.append(m)
+
+        # masks
+        owned_mask = np.zeros((P, self.n_loc1))
+        free_local = np.zeros((P, self.n_loc1))
+        dir_local = np.zeros((P, self.n_loc1))
+        free_np = self._free_np
+        for p in range(P):
+            n_own = len(owned_lists[p])
+            owned_mask[p, :n_own] = 1.0
+            n_tot = n_own + len(ghost_lists[p])
+            all_dofs = np.concatenate([owned_lists[p], ghost_lists[p]])
+            fl = free_np[all_dofs].astype(np.float64)
+            free_local[p, :n_tot] = fl
+            dir_local[p, :n_own] = 1.0 - fl[:n_own]
+        self._owned_mask = jnp.asarray(owned_mask, self.dtype)
+        self._free_local = jnp.asarray(free_local, self.dtype)
+        self._dir_local = jnp.asarray(dir_local, self.dtype)
+
+        # communication pattern: pair (owner j, holder q) exchange lists
+        pair_dofs: dict[tuple[int, int], np.ndarray] = {}
+        ms = 1
+        for q in range(P):
+            gh = ghost_lists[q]
+            if not len(gh):
+                continue
+            ow = owner[gh]
+            for j in np.unique(ow):
+                lst = gh[ow == j]  # sorted by global id
+                pair_dofs[(int(j), q)] = lst
+                ms = max(ms, len(lst))
+        self._max_send = ms
+        SI = np.full((P, P, ms), self._dump, dtype=np.int64)  # [j, q]: j's owned slots for q
+        RI = np.full((P, P, ms), self._dump, dtype=np.int64)  # [q, j]: q's ghost slots from j
+        SM = np.zeros((P, P, ms))
+        for (j, q), lst in pair_dofs.items():
+            SI[j, q, : len(lst)] = [self._g2l[j][int(g)] for g in lst]
+            RI[q, j, : len(lst)] = [self._g2l[q][int(g)] for g in lst]
+            SM[j, q, : len(lst)] = 1.0
+        self._SI = jnp.asarray(SI, jnp.int32)
+        self._RI = jnp.asarray(RI, jnp.int32)
+        self._SM = jnp.asarray(SM, self.dtype)
+
+        # Dirichlet scatter: (shard, slot) of each global Dirichlet dof (owner side)
+        if len(self.dirichlet_dofs):
+            ds = self._owner[self.dirichlet_dofs]
+            dl = np.array(
+                [self._g2l[s][int(g)] for s, g in zip(ds, self.dirichlet_dofs)], dtype=np.int64
+            )
+            self._dir_shard = ds
+            self._dir_slot = dl
+        else:
+            self._dir_shard = np.empty(0, dtype=np.int64)
+            self._dir_slot = np.empty(0, dtype=np.int64)
+
+    # -- halo exchange ---------------------------------------------------------
+
+    def _import(self, x, SI, RI):
+        """Owner -> ghost propagation (Import<T> analog); x (n_loc1, r) per shard."""
+        P, ms = self.n_shards, self._max_send
+        buf = x[SI.reshape(-1)].reshape(P, ms, x.shape[-1])
+        buf = jax.lax.all_to_all(buf, "shards", 0, 0, tiled=False)
+        return x.at[RI.reshape(-1)].set(buf.reshape(-1, x.shape[-1]))
+
+    def _export(self, y, SI, RI, SM):
+        """Ghost -> owner accumulation (Export<T> + AtomicSumInto analog)."""
+        P, ms = self.n_shards, self._max_send
+        buf = y[RI.reshape(-1)].reshape(P, ms, y.shape[-1])
+        buf = jax.lax.all_to_all(buf, "shards", 0, 0, tiled=False)
+        return y.at[SI.reshape(-1)].add(buf.reshape(-1, y.shape[-1]) * SM.reshape(-1, 1))
+
+    # -- assembly ---------------------------------------------------------------
+
+    def _begin_impl(self) -> None:
+        self._contribs = []
+        self._diag = None
+        self.rhs = jnp.zeros((self.n_shards, self.n_loc1, self.n_rhs), self.dtype)
+
+    def _bucket_parts(self, c: _Contribution, nodes: np.ndarray, part: np.ndarray) -> _ShardBucket:
+        P = self.n_shards
+        E_max = max(1, int(np.bincount(part, minlength=P).max()))
+        n_nodes, n_unk = c.elem_dofs.shape[1], c.elem_dofs.shape[2]
+        verts = np.tile(c.verts[:1], (P, E_max, 1, 1))
+        lidx = np.full((P, E_max, n_nodes * n_unk), self._dump, dtype=np.int64)
+        fields = None
+        fa = None
+        if c.field_access is not None:
+            fa, _ = c.field_access
+            fields = np.zeros((P, E_max, n_nodes, fa.n_fields))
+            fvals = np.asarray(fa.values)
+        for p in range(P):
+            sel = np.nonzero(part == p)[0]
+            if not len(sel):
+                continue
+            verts[p, : len(sel)] = c.verts[sel]
+            g2l = self._g2l[p]
+            gd = c.elem_dofs[sel].reshape(len(sel), -1)
+            lidx[p, : len(sel)] = np.vectorize(lambda g: g2l[int(g)])(gd)
+            if fields is not None:
+                slots = np.asarray(fa.slots, dtype=np.int64)
+                fields[p, : len(sel)] = fvals[nodes[sel]][:, :, slots]
+        return _ShardBucket(
+            kernel=c.kernel,
+            tables=c.tables,
+            options=c.options,
+            time=c.time,
+            verts=verts,
+            local_idx=lidx,
+            shape=(n_nodes, n_unk),
+            fields=fields,
+        )
+
+    def _add_contribution(self, c: _Contribution) -> None:
+        blk = c.block
+        if c.elem_sel is None:
+            part = self._parts[id(blk)]
+            nodes = blk.nodes
+        else:
+            part = self._parts[id(blk)][c.elem_sel]
+            nodes = blk.nodes[c.elem_sel]
+        self._contribs.append(self._bucket_parts(c, nodes, part))
+
+    # -- traced per-shard element compute ---------------------------------------
+
+    def _bucket_apply(self, b: _ShardBucket, xg, dtype):
+        """Per-shard (inside shard_map): y contribution of one bucket."""
+        geom = element_geometry(b.tables, jnp.asarray(b.verts_dev, dtype), with_phys_ders=True)
+        fv = fd = None
+        if b.fields is not None:
+            fv, fd = eval_fields(b.tables, geom, jnp.asarray(b.fields_dev, dtype))
+        A, _ = eval_equation_kernel(b.kernel, geom, fv, fd, b.time, dtype)
+        n_nodes, n_unk = b.shape
+        idx = b.lidx_dev
+        E = idx.shape[0]
+        y_parts = []
+        for r in range(self.n_rhs):
+            x_loc = xg[idx.reshape(-1), r].reshape(E, n_nodes, n_unk)
+            if self._sumfact_ok(b):
+                q_order = b.options.quadrature_order(b.tables.order)
+                y_loc = local_apply_sumfact(A, geom, b.tables.order, q_order, b.tables.dim, x_loc)
+            else:
+                B = _basis_stack(b.tables, geom, dtype)
+                y_loc = local_apply_direct(A, B, geom.weights, x_loc)
+            y_parts.append(y_loc.reshape(-1))
+        return idx, y_parts
+
+    def _sumfact_ok(self, b: _ShardBucket) -> bool:
+        from ..common.enums import LocalEvalStrategy
+        from ..ops.sumfact import supports_sumfact
+
+        strat = b.options.eval_strategy
+        if b.tables.side is not None or strat == LocalEvalStrategy.DIRECT:
+            return False
+        if strat == LocalEvalStrategy.SUM_FACT:
+            if not supports_sumfact(b.tables.element_type):
+                raise ValueError("sum factorization requires tensor-product Quad/Hex elements")
+            return True
+        return supports_sumfact(b.tables.element_type) and b.tables.order >= 2
+
+    def _shard_fn(self):
+        """Build the per-shard traced function over (x, *bucket arrays)."""
+        dtype = self.dtype
+        buckets = list(self._contribs)
+
+        def fn(x, SI, RI, SM, free_l, dir_l, owned_l, *arrays):
+            # shard_map blocks keep a leading local axis of size 1: drop it
+            x, SI, RI, SM = x[0], SI[0], RI[0], SM[0]
+            free_l, dir_l, owned_l = free_l[0], dir_l[0], owned_l[0]
+            arrays = [a[0] for a in arrays]
+            it = iter(arrays)
+            xm = x * free_l[:, None]
+            xg = self._import(xm, SI, RI)
+            y = jnp.zeros_like(x)
+            for b in buckets:
+                b.verts_dev = next(it)
+                b.lidx_dev = next(it)
+                b.fields_dev = next(it) if b.fields is not None else None
+                idx, y_parts = self._bucket_apply(b, xg, dtype)
+                for r, yp in enumerate(y_parts):
+                    y = y.at[idx.reshape(-1), r].add(yp)
+            y = self._export(y, SI, RI, SM)
+            y = y * owned_l[:, None]
+            return (y * free_l[:, None] + x * dir_l[:, None])[None]
+
+        return fn
+
+    def _bucket_arrays(self):
+        out = []
+        for b in self._contribs:
+            out.append(jnp.asarray(b.verts, self.dtype))
+            out.append(jnp.asarray(b.local_idx, jnp.int32))
+            if b.fields is not None:
+                out.append(jnp.asarray(b.fields, self.dtype))
+        return out
+
+    def raw_operator(self):
+        """The constrained distributed operator is built in operator()."""
+        raise NotImplementedError("DistributedSystem uses operator() directly")
+
+    def operator(self):
+        from jax.sharding import PartitionSpec as P
+
+        mesh = self.device_mesh
+        fn = self._shard_fn()
+        n_b = sum(2 + (1 if b.fields is not None else 0) for b in self._contribs)
+        in_specs = (P("shards"),) * (7 + n_b)
+        sharded = jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=P("shards"))
+        consts = (self._SI, self._RI, self._SM, self._free_local, self._dir_local, self._owned_mask)
+        arrays = self._bucket_arrays()
+
+        def apply(x):
+            return sharded(x, *consts, *arrays)
+
+        return apply
+
+    def _raw_apply_once(self, x):
+        """Unconstrained apply (for effective rhs): same pipeline minus masking."""
+        from jax.sharding import PartitionSpec as P
+
+        dtype = self.dtype
+        buckets = list(self._contribs)
+
+        def fn(x, SI, RI, SM, owned_l, *arrays):
+            x, SI, RI, SM, owned_l = x[0], SI[0], RI[0], SM[0], owned_l[0]
+            arrays = [a[0] for a in arrays]
+            it = iter(arrays)
+            xg = self._import(x, SI, RI)
+            y = jnp.zeros_like(x)
+            for b in buckets:
+                b.verts_dev = next(it)
+                b.lidx_dev = next(it)
+                b.fields_dev = next(it) if b.fields is not None else None
+                idx, y_parts = self._bucket_apply(b, xg, dtype)
+                for r, yp in enumerate(y_parts):
+                    y = y.at[idx.reshape(-1), r].add(yp)
+            y = self._export(y, SI, RI, SM)
+            return (y * owned_l[:, None])[None]
+
+        n_b = sum(2 + (1 if b.fields is not None else 0) for b in buckets)
+        in_specs = (P("shards"),) * (5 + n_b)
+        sharded = jax.shard_map(fn, mesh=self.device_mesh, in_specs=in_specs, out_specs=P("shards"))
+        return sharded(x, self._SI, self._RI, self._SM, self._owned_mask, *self._bucket_arrays())
+
+    def _end_impl(self) -> None:
+        from jax.sharding import PartitionSpec as P
+
+        dtype = self.dtype
+        buckets = list(self._contribs)
+
+        def fn(SI, RI, SM, owned_l, *arrays):
+            SI, RI, SM, owned_l = SI[0], RI[0], SM[0], owned_l[0]
+            arrays = [a[0] for a in arrays]
+            it = iter(arrays)
+            rhs = jnp.zeros((self.n_loc1, self.n_rhs), dtype)
+            diag = jnp.zeros((self.n_loc1, 1), dtype)
+            for b in buckets:
+                b.verts_dev = next(it)
+                b.lidx_dev = next(it)
+                b.fields_dev = next(it) if b.fields is not None else None
+                use_sf = self._sumfact_ok(b)
+                geom = element_geometry(
+                    b.tables,
+                    jnp.asarray(b.verts_dev, dtype),
+                    with_phys_ders=not use_sf or b.fields_dev is not None,
+                )
+                fv = fd = None
+                if b.fields_dev is not None:
+                    fv, fd = eval_fields(b.tables, geom, jnp.asarray(b.fields_dev, dtype))
+                A, f = eval_equation_kernel(b.kernel, geom, fv, fd, b.time, dtype)
+                if use_sf:
+                    from ..algsys.local import local_diagonal_sumfact, local_rhs_sumfact
+
+                    q_order = b.options.quadrature_order(b.tables.order)
+                    F = local_rhs_sumfact(A, geom, b.tables.order, q_order, b.tables.dim, f)
+                    d = local_diagonal_sumfact(A, geom, b.tables.order, q_order, b.tables.dim)
+                else:
+                    B = _basis_stack(b.tables, geom, dtype)
+                    F = local_rhs(A, B, geom.weights, f)
+                    d = local_diagonal(A, B, geom.weights)
+                idx = b.lidx_dev.reshape(-1)
+                rhs = rhs.at[idx].add(F.reshape(-1, self.n_rhs))
+                diag = diag.at[idx].add(d.reshape(-1, 1))
+            rhs = self._export(rhs, SI, RI, SM) * owned_l[:, None]
+            diag = self._export(diag, SI, RI, SM) * owned_l[:, None]
+            return rhs[None], diag[None]
+
+        n_b = sum(2 + (1 if b.fields is not None else 0) for b in buckets)
+        in_specs = (P("shards"),) * (4 + n_b)
+        sharded = jax.shard_map(
+            fn, mesh=self.device_mesh, in_specs=in_specs, out_specs=(P("shards"), P("shards"))
+        )
+        rhs, diag = sharded(self._SI, self._RI, self._SM, self._owned_mask, *self._bucket_arrays())
+        self.rhs = rhs
+        diag = diag[:, :, 0]
+        # unit diagonal on non-owned slots and Dirichlet dofs for Jacobi
+        self._diag = diag * self._free_local * self._owned_mask + (
+            1.0 - self._free_local * self._owned_mask
+        )
+
+    # -- solver-facing overrides -------------------------------------------------
+
+    def dirichlet_extension(self):
+        g = jnp.zeros((self.n_shards, self.n_loc1, self.n_rhs), self.dtype)
+        if len(self.dirichlet_dofs):
+            g = g.at[(jnp.asarray(self._dir_shard), jnp.asarray(self._dir_slot))].set(
+                self.dirichlet_values
+            )
+        return g
+
+    def effective_rhs(self):
+        if self._effective_rhs is None:
+            g = self.dirichlet_extension()
+            y = self._raw_apply_once(g)
+            free = self._free_local[:, :, None]
+            self._effective_rhs = free * (self.rhs - y) + g
+        return self._effective_rhs
+
+    def diagonal(self):
+        if self._diag is None:
+            raise RuntimeError("diagonal available after end_assembly")
+        return self._diag
+
+    def set_solution_vector(self, x):
+        self.x = x.reshape(self.n_shards, self.n_loc1, self.n_rhs)
+
+    def update_solution(self, dof_inds, solution_manager, slot_inds, rhs_index: int = 0) -> None:
+        # gather stacked solution to a global dof vector on the host
+        xs = np.asarray(self.x)[:, :, rhs_index]
+        xg = np.zeros(self.n_dofs)
+        for p in range(self.n_shards):
+            own = self._owned[p]
+            xg[own] = xs[p, : len(own)]
+        dof_inds = np.asarray(list(dof_inds), dtype=np.int64)
+        slot_inds = np.asarray(list(slot_inds), dtype=np.int64)
+        nd = self.dofmap.node_dof[:, dof_inds]
+        has = nd >= 0
+        vals = np.where(has, xg[np.where(has, nd, 0)], 0.0)
+        sm = np.array(solution_manager.values)
+        sm[:, slot_inds] = vals
+        solution_manager.values = jnp.asarray(sm, solution_manager.dtype)
+
+    def describe(self) -> str:
+        counts = [len(o) for o in self._owned]
+        return (
+            f"DistributedSystem: {self.n_dofs} dofs over {self.n_shards} shards "
+            f"(owned per shard: min {min(counts)}, max {max(counts)}), "
+            f"{len(self.dirichlet_dofs)} Dirichlet dofs, halo width {self._max_send}"
+        )
+
+
+def make_distributed_system(
+    mesh,
+    problem,
+    bc_def=None,
+    params: AlgebraicSystemParams = AlgebraicSystemParams(
+        eval_strategy=OperatorEvaluationStrategy.MATRIX_FREE
+    ),
+    n_shards: int | None = None,
+    devices=None,
+    dtype=None,
+) -> DistributedSystem:
+    """Factory for the sharded matrix-free system (distributeMesh +
+    makeAlgebraicSystem analog)."""
+    if params.eval_strategy != OperatorEvaluationStrategy.MATRIX_FREE:
+        raise NotImplementedError("distributed systems currently support MATRIX_FREE only")
+    return DistributedSystem(mesh, problem, bc_def, params, n_shards, devices, dtype)

@@ -1,0 +1,117 @@
+"""Element partitioning across shards.
+
+The METIS stand-in (``mesh/PartitionMesh.hpp:480-516`` analog): recursive
+coordinate bisection (RCB) on element centroids with optional per-element
+weights and heterogeneity-aware target fractions (the analog of the
+reference's node-throughput weighting,
+``comm/GatherNodeThroughputs.hpp:12-33``).  For the tensor-product meshes the
+framework targets, RCB yields compact, well-balanced parts with small halos.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["partition_rcb", "partition_mesh_elements"]
+
+
+def partition_rcb(
+    centroids: np.ndarray,
+    n_parts: int,
+    weights: np.ndarray | None = None,
+    part_fractions: np.ndarray | None = None,
+) -> np.ndarray:
+    """Part id (0..n_parts-1) per element by recursive coordinate bisection."""
+    n = len(centroids)
+    weights = np.ones(n) if weights is None else np.asarray(weights, dtype=np.float64)
+    fractions = (
+        np.full(n_parts, 1.0 / n_parts)
+        if part_fractions is None
+        else np.asarray(part_fractions, dtype=np.float64) / np.sum(part_fractions)
+    )
+    out = np.empty(n, dtype=np.int64)
+
+    def recurse(idx: np.ndarray, parts: range) -> None:
+        if len(parts) == 1:
+            out[idx] = parts.start
+            return
+        k = len(parts) // 2
+        frac_left = fractions[parts.start : parts.start + k].sum()
+        frac_total = fractions[parts.start : parts.stop].sum()
+        c = centroids[idx]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        order = np.argsort(c[:, axis], kind="stable")
+        w = weights[idx][order]
+        cum = np.cumsum(w)
+        target = frac_left / frac_total * cum[-1]
+        split = int(np.searchsorted(cum, target))
+        split = max(0, min(split, len(idx)))
+        left = idx[order[:split]]
+        right = idx[order[split:]]
+        recurse(left, range(parts.start, parts.start + k))
+        recurse(right, range(parts.start + k, parts.stop))
+
+    recurse(np.arange(n, dtype=np.int64), range(n_parts))
+    return out
+
+
+def partition_mesh_elements(
+    mesh, n_parts: int, problem=None, part_fractions=None
+) -> dict[int, np.ndarray]:
+    """Part assignment for every block keyed by id(block).
+
+    Volume (top-dimensional) blocks are partitioned by RCB on centroids,
+    weighted by active dofs per element when a ProblemDefinition is given;
+    boundary facet blocks follow their parent volume element.
+    """
+    parts: dict[int, np.ndarray] = {}
+    vol_dim = mesh.dim
+    # gather all volume elements across blocks for one global RCB
+    blocks = [
+        (did, blk)
+        for did, blk in mesh.blocks()
+        if blk.dim == vol_dim and did not in mesh.boundary_ids
+    ]
+    cents, weights, owners = [], [], []
+    for did, blk in blocks:
+        cents.append(blk.vertices.mean(axis=1))
+        if problem is not None:
+            w = np.full(blk.n_elements, blk.nodes.shape[1] * problem.active_mask(did).sum(), float)
+        else:
+            w = np.ones(blk.n_elements)
+        weights.append(w)
+        owners.append(np.full(blk.n_elements, len(owners)))
+    if not cents:
+        raise ValueError("mesh has no volume elements to partition")
+    allc = np.concatenate(cents)
+    p = partition_rcb(allc, n_parts, np.concatenate(weights), part_fractions)
+    off = 0
+    for (did, blk), c in zip(blocks, cents):
+        parts[id(blk)] = p[off : off + blk.n_elements]
+        off += blk.n_elements
+
+    # facet blocks (boundary domains & any lower-dim domains): follow parent
+    # via the boundary views where available, else RCB independently
+    for did, blk in mesh.blocks():
+        if id(blk) in parts:
+            continue
+        assigned = np.full(blk.n_elements, -1, dtype=np.int64)
+        if did in mesh.boundary_ids:
+            # boundary views are bucketed per (parent block, side); recover a
+            # per-facet part from the parent element partition by corner match
+            lookup = {}
+            for bv in mesh.boundary_views.get(did, []):
+                pparts = parts[id(bv.parent_block)][bv.element_indices]
+                from ..mesh.traits import side_corner_indices
+
+                sc = side_corner_indices(bv.parent_block.element_type, bv.side)
+                keys = np.sort(bv.parent_block.corner_nodes[bv.element_indices][:, sc], axis=1)
+                for k, pp in zip(map(tuple, keys), pparts):
+                    lookup[k] = pp
+            fkeys = np.sort(blk.corner_nodes, axis=1)
+            for e, k in enumerate(map(tuple, fkeys)):
+                assigned[e] = lookup.get(k, 0)
+        if (assigned < 0).any():
+            assigned = partition_rcb(blk.vertices.mean(axis=1), n_parts)
+        parts[id(blk)] = assigned
+    return parts

@@ -23,8 +23,13 @@ __all__ = ["cg_solve", "gmres_solve", "CG", "Gmres"]
 
 
 def _col_dots(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Per-column inner products of (n, n_rhs) multivectors -> (n_rhs,)."""
-    return jnp.sum(a * b, axis=0)
+    """Per-column inner products of (..., n_rhs) multivectors -> (n_rhs,).
+
+    All leading axes are reduced, so the same code serves single-device
+    (n, n_rhs) vectors and sharded stacked (n_shards, n_local, n_rhs) layouts
+    (where the reduction lowers to a psum over the device mesh).
+    """
+    return jnp.sum(a * b, axis=tuple(range(a.ndim - 1)))
 
 
 def cg_solve(operator, b, x0=None, precond=None, tol=1e-10, max_iters=1000):
@@ -55,12 +60,12 @@ def cg_solve(operator, b, x0=None, precond=None, tol=1e-10, max_iters=1000):
         Ap = operator(p)
         pAp = _col_dots(p, Ap)
         alpha = jnp.where(pAp != 0, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
-        x = x + alpha[None, :] * p
-        r = r - alpha[None, :] * Ap
+        x = x + alpha * p
+        r = r - alpha * Ap
         z = M(r)
         rz_new = _col_dots(r, z)
         beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
-        p = z + beta[None, :] * p
+        p = z + beta * p
         return (x, r, z, p, rz_new, it + 1)
 
     state = (x0, r0, z0, z0, rz0, jnp.asarray(0))

@@ -43,7 +43,7 @@ class Jacobi:
     def setup(self, system):
         d = system.diagonal()
         inv = jnp.where(jnp.abs(d) > self.threshold, 1.0 / d, 1.0)
-        return lambda r: inv[:, None] * r if r.ndim == 2 else inv * r
+        return lambda r: inv[..., None] * r if r.ndim == inv.ndim + 1 else inv * r
 
 
 @dataclass(frozen=True)
@@ -65,10 +65,10 @@ class Chebyshev:
         dinv = jnp.where(jnp.abs(d) > 1e-14, 1.0 / d, 1.0)
 
         def scaled_op(x):
-            return dinv[:, None] * op(x) if x.ndim == 2 else dinv * op(x[:, None])[:, 0]
+            return dinv[..., None] * op(x)
 
         key = jax.random.PRNGKey(0)
-        v = jax.random.normal(key, (d.shape[0], 1), dtype=d.dtype)
+        v = jax.random.normal(key, d.shape + (1,), dtype=d.dtype)
 
         def power_step(_, v):
             w = scaled_op(v)
@@ -84,13 +84,13 @@ class Chebyshev:
         def apply(r):
             # Chebyshev iteration on (D^-1 A) z = D^-1 r, z0 = 0; degree is
             # small and static, so the recurrence is unrolled at trace time.
-            rs = dinv[:, None] * r if r.ndim == 2 else dinv * r
+            rs = dinv[..., None] * r
             z = rs / theta
             zp = jnp.zeros_like(z)
             rho = delta / theta
             for _ in range(self.degree - 1):
                 rho_new = 1.0 / (2.0 * theta / delta - rho)
-                resid = rs - (dinv[:, None] * op(z) if z.ndim == 2 else dinv * op(z[:, None])[:, 0])
+                resid = rs - dinv[..., None] * op(z)
                 z_new = z + rho_new * ((2.0 / delta) * resid + rho * (z - zp))
                 zp, z, rho = z, z_new, rho_new
             return z

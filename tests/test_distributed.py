@@ -1,0 +1,102 @@
+"""Distributed-system tests on virtual CPU devices.
+
+The analog of the reference's MPI tests at 1/2/4 ranks
+(``tests/CMakeLists.txt:53-91``): the same diffusion problem solved over
+1, 2, 4, and 8 shards must reproduce the single-device answer; shards with
+very few elements (EmptyPartitionTest analog) must not break.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+import l3ster_tpu as lt
+from l3ster_tpu.parallel.distributed import make_distributed_system
+from l3ster_tpu.parallel.partition import partition_rcb
+
+
+def _diffusion(inp, out):
+    ops, rhs = out
+    A0, Ax, Ay = ops
+    Ax[0, 1] = -1.0
+    Ay[0, 2] = -1.0
+    A0[1, 1] = -1.0
+    Ax[1, 0] = 1.0
+    A0[2, 2] = -1.0
+    Ay[2, 0] = 1.0
+    Ax[3, 2] = 1.0
+    Ay[3, 1] = -1.0
+
+
+def _adiabatic(inp, out):
+    ops, _ = out
+    ops[0][0, 1] = inp.normal[0]
+    ops[0][0, 2] = inp.normal[1]
+
+
+def _solve_distributed(n_shards, n=4, order=2):
+    mesh = lt.generate_mesh(lt.make_square_mesh(np.linspace(0.0, 1.0, n)), order=order)
+    problem = lt.ProblemDefinition(3, [0])
+    bcs = lt.BCDefinition(problem)
+    bcs.define_dirichlet([3, 4], [0])
+    params = lt.AlgebraicSystemParams(eval_strategy=lt.OperatorEvaluationStrategy.MATRIX_FREE)
+    system = make_distributed_system(mesh, problem, bcs, params, n_shards=n_shards)
+
+    kd = lt.wrap_domain_equation_kernel(
+        _diffusion, lt.KernelParams(dimension=2, n_equations=4, n_unknowns=3)
+    )
+    kn = lt.wrap_boundary_equation_kernel(
+        _adiabatic, lt.KernelParams(dimension=2, n_equations=1, n_unknowns=3)
+    )
+    kdir = lt.wrap_boundary_residual_kernel(
+        lambda i, o: o.__setitem__(0, i.point.x), lt.KernelParams(dimension=2, n_equations=1)
+    )
+    opts = lt.AssemblyOptions(value_order=1, derivative_order=0)
+    system.set_dirichlet_bc_values(kdir, [3, 4], [0])
+    system.begin_assembly()
+    system.assemble_problem(kd, [0], options=opts)
+    system.assemble_problem(kn, [1, 2])
+    system.end_assembly()
+    res = system.solve(lt.CG(lt.IterSolverOpts(tol=1e-12, max_iters=3000), precond=lt.Jacobi()))
+
+    manager = lt.SolutionManager(mesh, 3)
+    system.update_solution([0, 1, 2], manager, [0, 1, 2])
+
+    def err(i, o):
+        o[0] = i.field_vals[0] - i.point.x
+        o[1] = i.field_vals[1] - 1.0
+        o[2] = i.field_vals[2]
+
+    ek = lt.wrap_domain_residual_kernel(
+        err, lt.KernelParams(dimension=2, n_equations=3, n_fields=3)
+    )
+    e = np.array(
+        lt.compute_norm_l2(ek, mesh, [0], manager.field_access([0, 1, 2]), options=opts)
+    ).ravel()
+    return np.linalg.norm(e), res
+
+
+@pytest.mark.parametrize("n_shards", [1, 2, 4])
+def test_distributed_diffusion(n_shards):
+    err, res = _solve_distributed(n_shards)
+    assert err < 1e-8, (n_shards, err)
+    assert res.tol < 1e-10
+
+
+def test_distributed_more_shards_than_columns():
+    """8 shards on a 3x3-element mesh: some shards get 1 element (near-empty)."""
+    err, _ = _solve_distributed(8, n=4)
+    assert err < 1e-8
+
+
+def test_rcb_partition_balance():
+    rng = np.random.default_rng(0)
+    c = rng.uniform(size=(1000, 3))
+    p = partition_rcb(c, 8)
+    counts = np.bincount(p, minlength=8)
+    assert counts.min() >= 100 and counts.max() <= 150
+    # weighted balance
+    w = rng.uniform(0.5, 2.0, size=1000)
+    p2 = partition_rcb(c, 4, weights=w)
+    tw = np.array([w[p2 == i].sum() for i in range(4)])
+    assert tw.max() / tw.min() < 1.3
