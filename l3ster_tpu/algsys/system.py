@@ -61,6 +61,7 @@ class _Contribution:
     options: AssemblyOptions
     block: object = None  # source ElementBlock
     elem_sel: np.ndarray | None = None  # indices into the block (boundary views)
+    mode: str = "both"  # "both" | "rhs" | "operator"
 
 
 class _SystemBase:
@@ -123,6 +124,7 @@ class _SystemBase:
         dof_inds=None,
         options: AssemblyOptions = AssemblyOptions(),
         time: float = 0.0,
+        mode: str = "both",
     ) -> None:
         """Register/assemble an equation kernel over domains or boundaries."""
         self._require_open()
@@ -155,8 +157,21 @@ class _SystemBase:
                     options=options,
                     block=block,
                     elem_sel=sel,
+                    mode=mode,
                 )
             )
+
+    def init_problem(self, kernel, domain_ids, field_access=None, dof_inds=None,
+                     options: AssemblyOptions = AssemblyOptions(), time: float = 0.0) -> None:
+        """Contribute only the right-hand side (``initProblem`` analog): use with
+        :meth:`define_operator` so time-stepping field history is not re-read
+        in every matrix-free operator apply."""
+        self.assemble_problem(kernel, domain_ids, field_access, dof_inds, options, time, mode="rhs")
+
+    def define_operator(self, kernel, domain_ids, field_access=None, dof_inds=None,
+                        options: AssemblyOptions = AssemblyOptions(), time: float = 0.0) -> None:
+        """Contribute only the operator (``defineOperator`` analog)."""
+        self.assemble_problem(kernel, domain_ids, field_access, dof_inds, options, time, mode="operator")
 
     def _buckets(self, kernel, domain_ids, options: AssemblyOptions):
         """Yield (tables, verts, nodes, block, sel) for each bucket to assemble."""
@@ -369,12 +384,21 @@ class AssembledSystem(_SystemBase):
 
     def _add_contribution(self, c: _Contribution) -> None:
         geom, fv, fd = _contribution_geometry(c, self.dtype)
+        if c.mode == "rhs":
+            A, f = eval_equation_kernel(c.kernel, geom, fv, fd, c.time, self.dtype)
+            B = _basis_stack(c.tables, geom, self.dtype)
+            F = local_rhs(A, B, geom.weights, f)
+            self.rhs = self.rhs.at[jnp.asarray(c.elem_dofs.reshape(-1))].add(
+                F.reshape(-1, self.n_rhs)
+            )
+            return
         K, F = local_system(c.kernel, c.tables, geom, fv, fd, c.time, self.dtype)
         pos = self._scatter_positions(c.elem_dofs)
         self.data = self.data.at[jnp.asarray(pos.reshape(-1))].add(K.reshape(-1))
-        self.rhs = self.rhs.at[jnp.asarray(c.elem_dofs.reshape(-1))].add(
-            F.reshape(-1, self.n_rhs)
-        )
+        if c.mode != "operator":
+            self.rhs = self.rhs.at[jnp.asarray(c.elem_dofs.reshape(-1))].add(
+                F.reshape(-1, self.n_rhs)
+            )
 
     def raw_operator(self):
         data, cols, rows, n = self.data, self._cols_dev, self._rows_dev, self.n_dofs
@@ -433,17 +457,23 @@ class MatrixFreeSystem(_SystemBase):
                     c, self.dtype, with_phys_ders=not use_sf or c.field_access is not None
                 )
                 A, f = eval_equation_kernel(c.kernel, geom, fv, fd, c.time, self.dtype)
-                if use_sf:
-                    q_order = c.options.quadrature_order(c.tables.order)
-                    F = local_rhs_sumfact(A, geom, c.tables.order, q_order, c.tables.dim, f)
-                    d = local_diagonal_sumfact(A, geom, c.tables.order, q_order, c.tables.dim)
-                else:
-                    B = _basis_stack(c.tables, geom, self.dtype)
-                    F = local_rhs(A, B, geom.weights, f)  # (E, n_nodes, n_unk, n_rhs)
-                    d = local_diagonal(A, B, geom.weights)
                 idx = jnp.asarray(c.elem_dofs.reshape(-1))
-                rhs = rhs.at[idx].add(F.reshape(-1, self.n_rhs))
-                diag = diag.at[idx].add(d.reshape(-1))
+                if c.mode != "operator":
+                    if use_sf:
+                        q_order = c.options.quadrature_order(c.tables.order)
+                        F = local_rhs_sumfact(A, geom, c.tables.order, q_order, c.tables.dim, f)
+                    else:
+                        B = _basis_stack(c.tables, geom, self.dtype)
+                        F = local_rhs(A, B, geom.weights, f)
+                    rhs = rhs.at[idx].add(F.reshape(-1, self.n_rhs))
+                if c.mode != "rhs":
+                    if use_sf:
+                        q_order = c.options.quadrature_order(c.tables.order)
+                        d = local_diagonal_sumfact(A, geom, c.tables.order, q_order, c.tables.dim)
+                    else:
+                        B = _basis_stack(c.tables, geom, self.dtype)
+                        d = local_diagonal(A, B, geom.weights)
+                    diag = diag.at[idx].add(d.reshape(-1))
             return rhs, diag
 
         self.rhs, self._diag = jax.jit(compute)(self.rhs)
@@ -472,6 +502,8 @@ class MatrixFreeSystem(_SystemBase):
         def apply(x):
             y = jnp.zeros_like(x)
             for c in contribs:
+                if c.mode == "rhs":
+                    continue
                 use_sf = self._use_sumfact(c)
                 geom, fv, fd = _contribution_geometry(c, dtype, with_phys_ders=not use_sf or c.field_access is not None)
                 A, _ = eval_equation_kernel(c.kernel, geom, fv, fd, c.time, dtype)

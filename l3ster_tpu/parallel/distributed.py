@@ -54,6 +54,7 @@ class _ShardBucket:
     local_idx: np.ndarray  # (P, E_max, n_nodes * n_unk) local dof slots
     shape: tuple  # (n_nodes, n_unk)
     fields: np.ndarray | None  # (P, E_max, n_nodes, n_fields) nodal field values
+    mode: str = "both"
 
 
 class DistributedSystem(_SystemBase):
@@ -241,6 +242,7 @@ class DistributedSystem(_SystemBase):
             local_idx=lidx,
             shape=(n_nodes, n_unk),
             fields=fields,
+            mode=c.mode,
         )
 
     def _add_contribution(self, c: _Contribution) -> None:
@@ -308,6 +310,8 @@ class DistributedSystem(_SystemBase):
                 b.verts_dev = next(it)
                 b.lidx_dev = next(it)
                 b.fields_dev = next(it) if b.fields is not None else None
+                if b.mode == "rhs":
+                    continue
                 idx, y_parts = self._bucket_apply(b, xg, dtype)
                 for r, yp in enumerate(y_parts):
                     y = y.at[idx.reshape(-1), r].add(yp)
@@ -363,6 +367,8 @@ class DistributedSystem(_SystemBase):
                 b.verts_dev = next(it)
                 b.lidx_dev = next(it)
                 b.fields_dev = next(it) if b.fields is not None else None
+                if b.mode == "rhs":
+                    continue
                 idx, y_parts = self._bucket_apply(b, xg, dtype)
                 for r, yp in enumerate(y_parts):
                     y = y.at[idx.reshape(-1), r].add(yp)
@@ -400,19 +406,24 @@ class DistributedSystem(_SystemBase):
                 if b.fields_dev is not None:
                     fv, fd = eval_fields(b.tables, geom, jnp.asarray(b.fields_dev, dtype))
                 A, f = eval_equation_kernel(b.kernel, geom, fv, fd, b.time, dtype)
-                if use_sf:
-                    from ..algsys.local import local_diagonal_sumfact, local_rhs_sumfact
+                from ..algsys.local import local_diagonal_sumfact, local_rhs_sumfact
 
-                    q_order = b.options.quadrature_order(b.tables.order)
-                    F = local_rhs_sumfact(A, geom, b.tables.order, q_order, b.tables.dim, f)
-                    d = local_diagonal_sumfact(A, geom, b.tables.order, q_order, b.tables.dim)
-                else:
-                    B = _basis_stack(b.tables, geom, dtype)
-                    F = local_rhs(A, B, geom.weights, f)
-                    d = local_diagonal(A, B, geom.weights)
+                q_order = b.options.quadrature_order(b.tables.order)
                 idx = b.lidx_dev.reshape(-1)
-                rhs = rhs.at[idx].add(F.reshape(-1, self.n_rhs))
-                diag = diag.at[idx].add(d.reshape(-1, 1))
+                if b.mode != "operator":
+                    if use_sf:
+                        F = local_rhs_sumfact(A, geom, b.tables.order, q_order, b.tables.dim, f)
+                    else:
+                        B = _basis_stack(b.tables, geom, dtype)
+                        F = local_rhs(A, B, geom.weights, f)
+                    rhs = rhs.at[idx].add(F.reshape(-1, self.n_rhs))
+                if b.mode != "rhs":
+                    if use_sf:
+                        d = local_diagonal_sumfact(A, geom, b.tables.order, q_order, b.tables.dim)
+                    else:
+                        B = _basis_stack(b.tables, geom, dtype)
+                        d = local_diagonal(A, B, geom.weights)
+                    diag = diag.at[idx].add(d.reshape(-1, 1))
             rhs = self._export(rhs, SI, RI, SM) * owned_l[:, None]
             diag = self._export(diag, SI, RI, SM) * owned_l[:, None]
             return rhs[None], diag[None]

@@ -1,0 +1,128 @@
+"""Unsteady 2D advection with periodic BCs -- time stepping oracle.
+
+Mirrors ``tests/AdvectionPeriodic2D.hpp``: a Gaussian pulse advected across a
+periodic x-direction with BDF3 time stepping; after one full period the pulse
+must return to its starting position within a few percent normalized L2 error.
+Exercises: periodic dof aliasing, Dirichlet value updates per step, field
+history access, init_problem/define_operator split, SolutionManager.setFields.
+"""
+
+import numpy as np
+import pytest
+
+import l3ster_tpu as lt
+
+DOMAIN, BOTTOM, TOP, LEFT, RIGHT = 0, 1, 2, 3, 4
+NX = np.linspace(-0.5, 0.5, 5)
+NY = np.linspace(0.0, 0.5, 4)
+W = NX[-1] - NX[0]
+H = NY[-1] - NY[0]
+
+BDF_LEADING = 11.0 / 6.0
+BDF_COEFS = np.array([3.0, -1.5, 1.0 / 3.0])
+U, V = 1.0, 0.0
+DT = 0.05
+
+
+def _analytic(inp, out):
+    import jax.numpy as jnp
+
+    t = inp.point.time
+    x = inp.point.x
+    x_dv = x - t * U
+    # wrap into [-W/2, W/2) periodically (t*U <= W so one wrap suffices... use mod)
+    x_dv = jnp.mod(x_dv - NX[0], W) + NX[0]
+    out[0] = jnp.exp(-10.0 * x_dv * x_dv)
+
+
+def _advection_init(inp, out):
+    ops, rhs = out
+    A0, Ax, Ay = ops
+    A0[0, 0] = BDF_LEADING
+    Ax[0, 0] = U * DT
+    Ay[0, 0] = V * DT
+    rhs[0] = (
+        BDF_COEFS[0] * inp.field_vals[0]
+        + BDF_COEFS[1] * inp.field_vals[1]
+        + BDF_COEFS[2] * inp.field_vals[2]
+    )
+
+
+def _advection_eval(inp, out):
+    ops, _ = out
+    A0, Ax, Ay = ops
+    A0[0, 0] = BDF_LEADING
+    Ax[0, 0] = U * DT
+    Ay[0, 0] = V * DT
+
+
+@pytest.mark.parametrize(
+    "strategy",
+    [lt.OperatorEvaluationStrategy.GLOBAL_ASSEMBLY, lt.OperatorEvaluationStrategy.MATRIX_FREE],
+)
+def test_advection_periodic_2d(strategy):
+    order = 4
+    mesh = lt.generate_mesh(lt.make_square_mesh(NX, NY), order=order)
+    problem = lt.ProblemDefinition(1, [DOMAIN])
+    bcs = lt.BCDefinition(problem)
+    bcs.define_periodic([LEFT], [RIGHT], [W, 0.0, 0.0])
+    bcs.define_dirichlet([TOP, BOTTOM])
+
+    system = lt.make_algebraic_system(
+        mesh, problem, bcs, lt.AlgebraicSystemParams(eval_strategy=strategy)
+    )
+
+    time_order = 3
+    init_k = lt.wrap_domain_equation_kernel(
+        _advection_init,
+        lt.KernelParams(dimension=2, n_equations=1, n_unknowns=1, n_fields=time_order),
+    )
+    eval_k = lt.wrap_domain_equation_kernel(
+        _advection_eval, lt.KernelParams(dimension=2, n_equations=1, n_unknowns=1)
+    )
+    sol_k = lt.wrap_domain_residual_kernel(_analytic, lt.KernelParams(dimension=2, n_equations=1))
+    sol_k_bc = lt.wrap_boundary_residual_kernel(
+        _analytic, lt.KernelParams(dimension=2, n_equations=1)
+    )
+
+    hist = list(range(time_order))  # slot indices, newest first
+    manager = lt.SolutionManager(mesh, time_order)
+    for i in hist:
+        t = -DT * i
+        manager.set_fields_from_kernel(sol_k, [DOMAIN], [i], time=t)
+        manager.set_fields_from_kernel(sol_k_bc, [BOTTOM, TOP, LEFT, RIGHT], [i], time=t)
+
+    solver = lt.CG(lt.IterSolverOpts(tol=1e-10, max_iters=2000), precond=lt.Jacobi())
+    n_steps = round(W / DT)
+    for step in range(1, n_steps + 1):
+        t = step * DT
+        system.set_dirichlet_bc_values(sol_k_bc, [BOTTOM, TOP], [0], time=t)
+        system.begin_assembly()
+        if strategy == lt.OperatorEvaluationStrategy.GLOBAL_ASSEMBLY:
+            system.assemble_problem(init_k, [DOMAIN], manager.field_access(hist))
+        else:
+            system.init_problem(init_k, [DOMAIN], manager.field_access(hist))
+            system.define_operator(eval_k, [DOMAIN])
+        system.end_assembly()
+        system.solve(solver)
+        last = hist[-1]
+        system.update_solution([0], manager, [last])
+        hist = [last] + hist[:-1]
+
+    def err_kernel(inp, out):
+        _analytic(inp, out)
+        out[0] = inp.field_vals[0] - out[0]
+
+    ek = lt.wrap_domain_residual_kernel(
+        err_kernel, lt.KernelParams(dimension=2, n_equations=1, n_fields=1)
+    )
+    err = (
+        float(
+            lt.compute_norm_l2(
+                ek, mesh, [DOMAIN], manager.field_access([hist[0]]), time=n_steps * DT
+            )[0, 0]
+        )
+        / (W * H)
+        * 100.0
+    )
+    assert err < 5.0, f"normalized L2 error {err:.2f}%"
