@@ -27,14 +27,21 @@ from .mesh.convert_order import convert_mesh_to_order
 from .mesh.core import ElementBlock, Mesh
 from .mesh.generators import (
     CubeMeshIds,
+    CylinderInChannel2DIds,
     SquareMeshIds,
+    graded_distribution,
     make_cube_mesh,
+    make_cylinder_in_channel_2d,
     make_line_mesh,
     make_square_mesh,
 )
+from .mesh.gmsh import read_gmsh
 from .mesh.traits import ElementType
+from .parallel.distributed import DistributedSystem, make_distributed_system
 from .post.integral import compute_integral, compute_norm_l2
+from .post.native_io import Loader, load, save
 from .post.solution import FieldAccess, SolutionManager
+from .post.vtk import ExportDefinition, PvtuExporter
 from .solve.direct import Klu2, Lapack
 from .solve.interface import IterSolveResult, IterSolverOpts
 from .solve.krylov import CG, Gmres

@@ -62,6 +62,8 @@ class _Contribution:
     block: object = None  # source ElementBlock
     elem_sel: np.ndarray | None = None  # indices into the block (boundary views)
     mode: str = "both"  # "both" | "rhs" | "operator"
+    dof_inds: tuple = ()
+    domain_id: int = -1
 
 
 class _SystemBase:
@@ -80,7 +82,18 @@ class _SystemBase:
         self.dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
 
         periodic_pairs = match_periodic_nodes(mesh, bc_def)
-        self.dofmap = build_dof_map(mesh, problem, periodic_pairs)
+        condensed = None
+        if params.cond_policy == CondensationPolicy.ELEMENT_BOUNDARY:
+            from ..mesh.traits import internal_node_indices
+
+            parts = []
+            for did, blk in mesh.blocks():
+                if blk.dim == mesh.dim and did not in mesh.boundary_ids:
+                    inn = internal_node_indices(blk.element_type, blk.order)
+                    if len(inn):
+                        parts.append(blk.nodes[:, inn].reshape(-1))
+            condensed = np.unique(np.concatenate(parts)) if parts else None
+        self.dofmap = build_dof_map(mesh, problem, periodic_pairs, condensed_nodes=condensed)
         self.n_dofs = self.dofmap.n_dofs
         self.n_rhs = params.n_rhs
 
@@ -109,6 +122,16 @@ class _SystemBase:
             raise RuntimeError("end_assembly without begin_assembly")
         self._open = False
         self._end_impl()
+
+    def _dofs_valid(self, elem_dofs: np.ndarray, block) -> bool:
+        if self.params.cond_policy == CondensationPolicy.ELEMENT_BOUNDARY and (
+            block.dim == self.mesh.dim
+        ):
+            from ..mesh.traits import boundary_node_indices
+
+            bn = boundary_node_indices(block.element_type, block.order)
+            return bool((elem_dofs[:, bn, :] >= 0).all())
+        return bool((elem_dofs >= 0).all())
 
     def _require_open(self) -> None:
         if not self._open:
@@ -140,9 +163,9 @@ class _SystemBase:
             )
 
         for bucket in self._buckets(kernel, domain_ids, options):
-            tables, verts, nodes, block, sel = bucket
+            tables, verts, nodes, block, sel, did = bucket
             elem_dofs = self.dofmap.element_dofs(nodes, dof_inds)
-            if (elem_dofs < 0).any():
+            if not self._dofs_valid(elem_dofs, block):
                 raise ValueError(
                     f"kernel dof indices {dof_inds} not all active on the assembled domains"
                 )
@@ -158,6 +181,8 @@ class _SystemBase:
                     block=block,
                     elem_sel=sel,
                     mode=mode,
+                    dof_inds=dof_inds,
+                    domain_id=did,
                 )
             )
 
@@ -186,7 +211,7 @@ class _SystemBase:
                     qo = options.quadrature_order(blk.order)
                     tab = side_tables(blk.element_type, blk.order, bv.side, qo)
                     sel = bv.element_indices
-                    yield tab, blk.vertices[sel], blk.nodes[sel], blk, sel
+                    yield tab, blk.vertices[sel], blk.nodes[sel], blk, sel, bv.parent_domain
                     found = True
             if not found:
                 raise ValueError(f"no boundary facets in domains {list(domain_ids)}")
@@ -202,18 +227,34 @@ class _SystemBase:
                     )
                 qo = options.quadrature_order(blk.order)
                 tab = domain_tables(blk.element_type, blk.order, qo)
-                yield tab, blk.vertices, blk.nodes, blk, None
+                yield tab, blk.vertices, blk.nodes, blk, None, did
 
     # -- Dirichlet values (``AssembledSystem.hpp:158-286`` analog) ------------
 
     def set_dirichlet_bc_values(self, kernel_or_values, boundaries=None, dof_inds=None, field_access=None, time=0.0):
         """Set Dirichlet values from a boundary residual kernel (averaged at
-        nodes) or directly from an array matching the Dirichlet dof list."""
-        if boundaries is None:  # raw array
+        nodes), from per-dof constants on given boundaries, or directly from
+        an array matching the Dirichlet dof list."""
+        if boundaries is None:  # raw array aligned with the Dirichlet dof list
             vals = jnp.asarray(kernel_or_values, self.dtype).reshape(-1, self.n_rhs)
             if vals.shape[0] != len(self.dirichlet_dofs):
                 raise ValueError("value array length != number of Dirichlet dofs")
             self.dirichlet_values = vals
+            self._effective_rhs = None
+            return
+        if not callable(getattr(kernel_or_values, "evaluate", None)):
+            # constant per dof index (``setDirichletBCValues(values, bounds, inds)``)
+            consts = np.asarray(kernel_or_values, dtype=np.float64).reshape(-1)
+            dof_inds = tuple(dof_inds) if dof_inds is not None else tuple(range(len(consts)))
+            if len(consts) != len(dof_inds):
+                raise ValueError("need one constant per dof index")
+            nodes = self.mesh.boundary_nodes_of(boundaries)
+            for val, di in zip(consts, dof_inds):
+                dofs = self.dofmap.node_dof[nodes, di]
+                dofs = dofs[dofs >= 0]
+                pos = np.searchsorted(self.dirichlet_dofs, dofs)
+                ok = (pos < len(self.dirichlet_dofs)) & (self.dirichlet_dofs[np.minimum(pos, len(self.dirichlet_dofs) - 1)] == dofs)
+                self.dirichlet_values = self.dirichlet_values.at[jnp.asarray(pos[ok])].set(val)
             self._effective_rhs = None
             return
         from .values_at_nodes import compute_boundary_values_at_nodes
@@ -326,6 +367,28 @@ def _contribution_geometry(c: _Contribution, dtype, with_phys_ders: bool = True)
     return geom, fv, fd
 
 
+@dataclass
+class _CondensationAgg:
+    """Per-block accumulator for ELEMENT_BOUNDARY static condensation
+    (``algsys/StaticCondensationManager.hpp:152-207`` analog).
+
+    All kernel contributions touching a block's elements accumulate their
+    interior-coupled sub-blocks here; the Schur complement is formed once at
+    end_assembly and the interior solution recovered after the solve.
+    """
+
+    block: object
+    act: np.ndarray  # active dof components on this block's domain
+    b_nodes: np.ndarray
+    i_nodes: np.ndarray
+    b_dofs: np.ndarray  # (E, nb) global dof ids of the boundary space
+    Kbi: jnp.ndarray  # (E, nb, ni)
+    Kii: jnp.ndarray  # (E, ni, ni)
+    Fi: jnp.ndarray  # (E, ni, n_rhs)
+    Y: jnp.ndarray | None = None  # Kii^-1 Kib
+    Z: jnp.ndarray | None = None  # Kii^-1 Fi
+
+
 class AssembledSystem(_SystemBase):
     """Explicit CSR system (``algsys/AssembledSystem.hpp``)."""
 
@@ -334,6 +397,7 @@ class AssembledSystem(_SystemBase):
         self._build_sparsity()
         self.data = jnp.zeros(self.nnz, self.dtype)
         self._pos_cache: dict = {}
+        self._cond_aggs: dict[int, _CondensationAgg] = {}
 
     # -- sparsity (``algsys/SparsityGraph.hpp`` analog, host-side) ------------
 
@@ -378,11 +442,144 @@ class AssembledSystem(_SystemBase):
 
     def _begin_impl(self) -> None:
         self.data = jnp.zeros(self.nnz, self.dtype)
+        self._cond_aggs = {}
 
     def _end_impl(self) -> None:
-        pass
+        # form the per-element Schur complements and apply them to the global
+        # system (``StaticCondensationManager::endAssembly`` analog)
+        for agg in self._cond_aggs.values():
+            Kib = jnp.swapaxes(agg.Kbi, 1, 2)
+            # guard empty interior rows (elements never touched by a domain
+            # kernel): substitute identity so the solve stays finite
+            diag_ok = jnp.abs(jnp.diagonal(agg.Kii, axis1=1, axis2=2)).max(axis=1) > 0
+            ni = agg.Kii.shape[1]
+            eye = jnp.eye(ni, dtype=self.dtype)
+            Kii = jnp.where(diag_ok[:, None, None], agg.Kii, eye[None])
+            Y = jnp.linalg.solve(Kii, Kib)  # (E, ni, nb)
+            Z = jnp.linalg.solve(Kii, agg.Fi)  # (E, ni, n_rhs)
+            schur = -jnp.einsum("ebi,eij->ebj", agg.Kbi, Y)
+            pos = self._scatter_positions(agg.b_dofs)
+            self.data = self.data.at[jnp.asarray(pos.reshape(-1))].add(schur.reshape(-1))
+            rhs_corr = -jnp.einsum("ebi,eir->ebr", agg.Kbi, Z)
+            self.rhs = self.rhs.at[jnp.asarray(agg.b_dofs.reshape(-1))].add(
+                rhs_corr.reshape(-1, self.n_rhs)
+            )
+            agg.Y, agg.Z = Y, Z
+
+    def _get_cond_agg(self, c: _Contribution) -> _CondensationAgg:
+        blk = c.block
+        agg = self._cond_aggs.get(id(blk))
+        if agg is None:
+            from ..mesh.traits import boundary_node_indices, internal_node_indices
+
+            act = np.nonzero(self.problem.active_mask(c.domain_id))[0]
+            b_nodes = boundary_node_indices(blk.element_type, blk.order)
+            i_nodes = internal_node_indices(blk.element_type, blk.order)
+            E = blk.n_elements
+            nb, ni = len(b_nodes) * len(act), len(i_nodes) * len(act)
+            b_dofs = self.dofmap.node_dof[blk.nodes[:, b_nodes]][:, :, act].reshape(E, nb)
+            agg = _CondensationAgg(
+                block=blk,
+                act=act,
+                b_nodes=b_nodes,
+                i_nodes=i_nodes,
+                b_dofs=b_dofs,
+                Kbi=jnp.zeros((E, nb, ni), self.dtype),
+                Kii=jnp.zeros((E, ni, ni), self.dtype),
+                Fi=jnp.zeros((E, ni, self.n_rhs), self.dtype),
+            )
+            self._cond_aggs[id(blk)] = agg
+        return agg
+
+    def _add_condensed(self, c: _Contribution) -> None:
+        agg = self._get_cond_agg(c)
+        geom, fv, fd = _contribution_geometry(c, self.dtype)
+        K, F = local_system(c.kernel, c.tables, geom, fv, fd, c.time, self.dtype)
+        n_unk = len(c.dof_inds)
+        n_act = len(agg.act)
+        apos = np.searchsorted(agg.act, np.asarray(c.dof_inds))
+        if not np.array_equal(agg.act[apos], np.asarray(c.dof_inds)):
+            raise ValueError("kernel dof indices not active on the condensed block's domain")
+        n_nodes = c.block.nodes.shape[1]
+        i_rank = {int(n): r for r, n in enumerate(agg.i_nodes)}
+        b_rank = {int(n): r for r, n in enumerate(agg.b_nodes)}
+        b_sel, tb, i_sel, ti = [], [], [], []
+        for n in range(n_nodes):
+            for u in range(n_unk):
+                j = n * n_unk + u
+                if n in i_rank:
+                    i_sel.append(j)
+                    ti.append(i_rank[n] * n_act + apos[u])
+                else:
+                    b_sel.append(j)
+                    tb.append(b_rank[n] * n_act + apos[u])
+        b_sel, tb = np.asarray(b_sel), np.asarray(tb, dtype=np.int64)
+        i_sel, ti = np.asarray(i_sel), np.asarray(ti, dtype=np.int64)
+        E_c = K.shape[0]
+        rows = c.elem_sel if c.elem_sel is not None else np.arange(E_c)
+        rows = np.asarray(rows, dtype=np.int64)
+
+        bdofs_k = c.elem_dofs.reshape(E_c, -1)[:, b_sel]
+        if c.mode != "rhs":
+            Kbb = K[:, b_sel][:, :, b_sel]
+            pos = self._scatter_positions(bdofs_k)
+            self.data = self.data.at[jnp.asarray(pos.reshape(-1))].add(Kbb.reshape(-1))
+            if len(i_sel):
+                Kbi = K[:, b_sel][:, :, i_sel]
+                Kii = K[:, i_sel][:, :, i_sel]
+                agg.Kbi = agg.Kbi.at[
+                    rows[:, None, None], tb[None, :, None], ti[None, None, :]
+                ].add(Kbi)
+                agg.Kii = agg.Kii.at[
+                    rows[:, None, None], ti[None, :, None], ti[None, None, :]
+                ].add(Kii)
+        if c.mode != "operator":
+            self.rhs = self.rhs.at[jnp.asarray(bdofs_k.reshape(-1))].add(
+                F[:, b_sel].reshape(-1, self.n_rhs)
+            )
+            if len(i_sel):
+                agg.Fi = agg.Fi.at[rows[:, None], ti[None, :]].add(F[:, i_sel])
+
+    def recover_condensed_solution(self, rhs_index: int = 0):
+        """(block, interior node ids (E, n_i), values (E, n_i, n_act)) tuples."""
+        out = []
+        for agg in self._cond_aggs.values():
+            if agg.Y is None:
+                continue
+            ub = self.x[jnp.asarray(agg.b_dofs), rhs_index]  # (E, nb)
+            ui = agg.Z[..., rhs_index] - jnp.einsum("eij,ej->ei", agg.Y, ub)
+            E = ub.shape[0]
+            vals = ui.reshape(E, len(agg.i_nodes), len(agg.act))
+            nodes = agg.block.nodes[:, agg.i_nodes]
+            out.append((agg, nodes, vals))
+        return out
+
+    def update_solution(self, dof_inds, solution_manager, slot_inds, rhs_index: int = 0) -> None:
+        super().update_solution(dof_inds, solution_manager, slot_inds, rhs_index)
+        if not self._cond_aggs:
+            return
+        dof_inds = np.asarray(list(dof_inds), dtype=np.int64)
+        slot_inds = np.asarray(list(slot_inds), dtype=np.int64)
+        for agg, nodes, vals in self.recover_condensed_solution(rhs_index):
+            for di, si in zip(dof_inds, slot_inds):
+                hit = np.nonzero(agg.act == di)[0]
+                if not len(hit):
+                    continue
+                col = int(hit[0])
+                solution_manager.values = solution_manager.values.at[
+                    jnp.asarray(nodes.reshape(-1)), si
+                ].set(vals[:, :, col].reshape(-1).astype(solution_manager.dtype))
 
     def _add_contribution(self, c: _Contribution) -> None:
+        from ..mesh.traits import internal_node_indices
+
+        if (
+            self.params.cond_policy == CondensationPolicy.ELEMENT_BOUNDARY
+            and c.block.dim == self.mesh.dim
+            and len(internal_node_indices(c.block.element_type, c.block.order))
+        ):
+            self._add_condensed(c)
+            return
         geom, fv, fd = _contribution_geometry(c, self.dtype)
         if c.mode == "rhs":
             A, f = eval_equation_kernel(c.kernel, geom, fv, fd, c.time, self.dtype)

@@ -125,6 +125,24 @@ def side_corner_indices(et: ElementType, side: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
+def internal_node_indices(et: ElementType, order: int) -> np.ndarray:
+    """Local nodes strictly inside the element (never shared between elements);
+    the condensable set of the ElementBoundary policy
+    (``mesh/ElementTraits.hpp:63-141`` internal_node_inds)."""
+    lat = node_lattice(et, order)
+    inside = np.all((lat > 0) & (lat < order), axis=1)
+    return np.nonzero(inside)[0].astype(np.int64)
+
+
+@lru_cache(maxsize=None)
+def boundary_node_indices(et: ElementType, order: int) -> np.ndarray:
+    """Local nodes on the element's boundary (complement of the internal set)."""
+    lat = node_lattice(et, order)
+    inside = np.all((lat > 0) & (lat < order), axis=1)
+    return np.nonzero(~inside)[0].astype(np.int64)
+
+
+@lru_cache(maxsize=None)
 def reference_node_coords(et: ElementType, order: int) -> np.ndarray:
     """Reference coordinates of the local nodes (GLL spacing), shape (n_nodes, dim)."""
     gll, _ = gauss_lobatto(order + 1) if order >= 1 else (np.array([0.0]), None)

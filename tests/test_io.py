@@ -1,0 +1,227 @@
+"""I/O tests: Gmsh import, VTK export, native checkpoint round trip.
+
+Mirrors ``tests/MeshTests.cpp`` (read), ``tests/VtkExportTest.cpp`` and
+``tests/SaveLoadTests.cpp``.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import l3ster_tpu as lt
+from l3ster_tpu.mesh.gmsh import read_gmsh
+from l3ster_tpu.post.native_io import Loader, save
+from l3ster_tpu.post.vtk import ExportDefinition, PvtuExporter
+
+GMSH_V2 = """$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$Nodes
+6
+1 0 0 0
+2 1 0 0
+3 2 0 0
+4 0 1 0
+5 1 1 0
+6 2 1 0
+$EndNodes
+$Elements
+8
+1 3 2 10 1 1 2 5 4
+2 3 2 10 1 2 3 6 5
+3 1 2 1 1 1 2
+4 1 2 1 1 2 3
+5 1 2 2 2 4 5
+6 1 2 2 2 5 6
+7 1 2 3 3 1 4
+8 1 2 4 4 3 6
+$EndElements
+"""
+
+GMSH_V4 = """$MeshFormat
+4.1 0 8
+$EndMeshFormat
+$Entities
+0 4 1 0
+1 0 0 0 2 0 0 1 1 0
+2 0 1 0 2 1 0 1 2 0
+3 0 0 0 0 1 0 1 3 0
+4 2 0 0 2 1 0 1 4 0
+1 0 0 0 2 1 0 1 10 4 1 2 3 4
+$EndEntities
+$Nodes
+5 6 1 6
+1 1 0 2
+1
+2
+0 0 0
+1 0 0
+1 2 0 2
+3
+4
+2 0 0
+0 1 0
+1 3 0 1
+5
+1 1 0
+1 4 0 1
+6
+2 1 0
+2 1 0 0
+$EndNodes
+$Elements
+5 8 1 8
+1 1 1 2
+1 1 2
+2 2 3
+1 2 1 2
+3 4 5
+4 5 6
+1 3 1 1
+5 1 4
+1 4 1 1
+6 3 6
+2 1 3 2
+7 1 2 5 4
+8 2 3 6 5
+$EndElements
+"""
+
+
+def _check_square2(mesh):
+    assert mesh.dim == 2
+    assert mesh.n_nodes == 6
+    quads = mesh.domains[10][0]
+    assert quads.element_type == lt.ElementType.QUAD and quads.n_elements == 2
+    # lexicographic corner ordering restored from gmsh CCW loop
+    c = mesh.node_coords[quads.nodes[0]]
+    assert np.allclose(c[:, :2], [[0, 0], [1, 0], [0, 1], [1, 1]])
+    assert set(mesh.boundary_views) == {1, 2, 3, 4}
+    assert mesh.boundary_views[1][0].side == 2  # bottom: y-
+
+
+def test_read_gmsh_v2(tmp_path):
+    p = tmp_path / "square.msh"
+    p.write_text(GMSH_V2)
+    mesh = read_gmsh(str(p), boundary_ids=[1, 2, 3, 4])
+    _check_square2(mesh)
+
+
+def test_read_gmsh_v4(tmp_path):
+    p = tmp_path / "square4.msh"
+    p.write_text(GMSH_V4)
+    mesh = read_gmsh(str(p), boundary_ids=[1, 2, 3, 4])
+    _check_square2(mesh)
+
+
+def test_gmsh_orientation_fix(tmp_path):
+    # same v2 mesh but first quad given clockwise (negative Jacobian)
+    bad = GMSH_V2.replace("1 3 2 10 1 1 2 5 4", "1 3 2 10 1 1 4 5 2")
+    p = tmp_path / "flip.msh"
+    p.write_text(bad)
+    mesh = read_gmsh(str(p), boundary_ids=[1, 2, 3, 4])
+    from l3ster_tpu.mapping.geometry import geometry_tables
+
+    blk = mesh.domains[10][0]
+    _, gd = geometry_tables(blk.element_type, np.zeros((1, 2)))
+    J = np.einsum("qjv,evi->eij", gd, blk.vertices[:, :, :2])
+    assert (np.linalg.det(J) > 0).all()
+
+
+def test_gmsh_unsupported_type(tmp_path):
+    tri = GMSH_V2.replace("1 3 2 10 1 1 2 5 4", "1 2 2 10 1 1 2 5")
+    p = tmp_path / "tri.msh"
+    p.write_text(tri)
+    with pytest.raises(ValueError, match="unsupported gmsh element type"):
+        read_gmsh(str(p), boundary_ids=[])
+
+
+def test_gmsh_solve_end_to_end(tmp_path):
+    """Solve the 2D diffusion problem on an imported mesh."""
+    p = tmp_path / "square.msh"
+    p.write_text(GMSH_V2)
+    mesh = lt.generate_mesh(read_gmsh(str(p), boundary_ids=[1, 2, 3, 4]), order=2)
+    from tests.test_diffusion_2d import adiabatic_bc, diffusion_kernel_2d
+
+    problem = lt.ProblemDefinition(3, [10])
+    bcs = lt.BCDefinition(problem)
+    bcs.define_dirichlet([3, 4], [0])
+    system = lt.make_algebraic_system(mesh, problem, bcs)
+    kd = lt.wrap_domain_equation_kernel(
+        diffusion_kernel_2d, lt.KernelParams(dimension=2, n_equations=4, n_unknowns=3)
+    )
+    kn = lt.wrap_boundary_equation_kernel(
+        adiabatic_bc, lt.KernelParams(dimension=2, n_equations=1, n_unknowns=3)
+    )
+    kdir = lt.wrap_boundary_residual_kernel(
+        lambda i, o: o.__setitem__(0, i.point.x / 2.0), lt.KernelParams(dimension=2, n_equations=1)
+    )
+    system.set_dirichlet_bc_values(kdir, [3, 4], [0])
+    system.begin_assembly()
+    system.assemble_problem(kd, [10], options=lt.AssemblyOptions(value_order=1, derivative_order=0))
+    system.assemble_problem(kn, [1, 2])
+    system.end_assembly()
+    system.solve(lt.Klu2())
+    man = lt.SolutionManager(mesh, 3)
+    system.update_solution([0, 1, 2], man, [0, 1, 2])
+
+    def err(i, o):
+        o[0] = i.field_vals[0] - i.point.x / 2.0
+
+    ek = lt.wrap_domain_residual_kernel(err, lt.KernelParams(dimension=2, n_equations=1, n_fields=3))
+    e = float(lt.compute_norm_l2(ek, mesh, [10], man.field_access([0, 1, 2]))[0, 0])
+    assert e < 1e-10
+
+
+def test_vtk_export(tmp_path):
+    mesh = lt.generate_mesh(lt.make_square_mesh(np.linspace(0, 1, 3)), order=2)
+    man = lt.SolutionManager(mesh, 2)
+    man.set_field([0], np.asarray(mesh.node_coords)[:, 0])
+    man.set_field([1], 3.0)
+    exporter = PvtuExporter(mesh)
+    d = ExportDefinition(str(tmp_path / "out.pvtu"))
+    d.define_field("x_coord", [0])
+    d.define_field("pair", [0, 1])
+    path = exporter.export_solution(d, man)
+    assert os.path.exists(path)
+    assert os.path.exists(str(tmp_path / "out.vtu"))
+    txt = open(str(tmp_path / "out.vtu")).read()
+    assert "UnstructuredGrid" in txt and "x_coord" in txt
+    # 4 quads at p=2 -> 16 linear subcells
+    assert 'NumberOfCells="16"' in txt
+    # parse back the base64 payload of connectivity? smoke-check well-formed XML
+    import xml.etree.ElementTree as ET
+
+    ET.parse(str(tmp_path / "out.vtu"))
+    ET.parse(path)
+
+
+def test_native_io_roundtrip(tmp_path):
+    mesh = lt.generate_mesh(lt.make_cube_mesh(np.linspace(0, 1, 3)), order=2)
+    man = lt.SolutionManager(mesh, 2)
+    man.set_field([0], np.asarray(mesh.node_coords)[:, 0] ** 2)
+    man.set_field([1], 7.0)
+    path = save(str(tmp_path / "ckpt"), mesh, man, field_names=["xsq", "seven"])
+    loader = Loader(path)
+    mesh2 = loader.mesh()
+    assert mesh2.n_nodes == mesh.n_nodes and mesh2.dim == 3
+    assert set(mesh2.boundary_views) == set(mesh.boundary_views)
+    for did in mesh.domains:
+        for b1, b2 in zip(mesh.domains[did], mesh2.domains[did]):
+            assert np.array_equal(b1.nodes, b2.nodes)
+            assert np.allclose(b1.vertices, b2.vertices)
+    assert loader.field_names == ["xsq", "seven"]
+    man2 = loader.solution_manager(mesh2)
+    assert np.allclose(np.asarray(man2.values), np.asarray(man.values))
+    # reload into a different shard count: distributed system on the loaded mesh
+    from l3ster_tpu.parallel.distributed import make_distributed_system
+
+    problem = lt.ProblemDefinition(1, [0])
+    sys2 = make_distributed_system(
+        mesh2,
+        problem,
+        params=lt.AlgebraicSystemParams(eval_strategy=lt.OperatorEvaluationStrategy.MATRIX_FREE),
+        n_shards=4,
+    )
+    assert sys2.n_dofs == mesh2.n_nodes

@@ -1,0 +1,107 @@
+"""Navier-Stokes (Karman) pipeline smoke test.
+
+A miniature version of ``examples/karman_2d.py`` (reference example 07):
+Picard steady solve + a couple of BDF2 steps on a deliberately coarse
+cylinder-in-channel mesh.  Checks the machinery (nonlinear field coupling,
+dof-subset boundary assembly, flux integrals), not flow accuracy -- LSFEM
+mass conservation on this mesh is weak, so the threshold is loose.
+"""
+
+import numpy as np
+
+import l3ster_tpu as lt
+from l3ster_tpu.models.kernels import (
+    flow_rate_bc,
+    navier_stokes_outlet_bc,
+    navier_stokes_uvop_2d,
+)
+
+DOMAIN, BOTTOM, TOP, INLET, OUTLET, CYLINDER = 0, 1, 2, 3, 4, 5
+
+
+def test_karman_mini():
+    mesh = lt.make_cylinder_in_channel_2d(
+        left_offset=4.0, right_offset=6.0, bottom_offset=3.0, top_offset=3.0,
+        n_circumf=16, n_radial=4, n_left=3, n_right=6, n_bottom=2, n_top=2,
+        q_radial=1.3, q_right=1.1,
+    )
+    mesh = lt.generate_mesh(mesh, order=2)
+    H = mesh.node_coords[:, 1].max()
+    nu = 1.0 / 50.0
+
+    problem = lt.ProblemDefinition(4, [DOMAIN])
+    bcs = lt.BCDefinition(problem)
+    bcs.define_dirichlet([INLET, BOTTOM, TOP, CYLINDER], [0, 1])
+    system = lt.make_algebraic_system(mesh, problem, bcs)
+
+    ks = navier_stokes_uvop_2d(nu)
+    kt = navier_stokes_uvop_2d(nu, dt=0.2)
+    ko = navier_stokes_outlet_bc(nu)
+    kf = flow_rate_bc()
+    opts = lt.AssemblyOptions(value_order=1, derivative_order=1)
+
+    def prof(i, o):
+        y = i.point.y
+        o[0] = 1.5 * (1.0 - (y / H) ** 2)
+        o[1] = 0.0
+
+    ki = lt.wrap_boundary_residual_kernel(prof, lt.KernelParams(dimension=2, n_equations=2))
+    system.set_dirichlet_bc_values([0.0, 0.0], [BOTTOM, TOP, CYLINDER], [0, 1])
+    system.set_dirichlet_bc_values(ki, [INLET], [0, 1])
+
+    man = lt.SolutionManager(mesh, 6)
+    vel1, vel2 = [0, 1], [2, 3]
+    solver = lt.Klu2()
+
+    def flows(access):
+        inflow = -float(lt.compute_integral(kf, mesh, [INLET], access)[0, 0])
+        outflow = float(lt.compute_integral(kf, mesh, [OUTLET], access)[0, 0])
+        return inflow, outflow
+
+    for _ in range(4):
+        system.begin_assembly()
+        system.assemble_problem(ks, [DOMAIN], man.field_access(vel1), options=opts)
+        system.assemble_problem(ko, [OUTLET], dof_inds=(0, 1, 3))
+        system.end_assembly()
+        system.solve(solver)
+        system.update_solution([0, 1], man, vel1)
+    system.update_solution([0, 1, 2, 3], man, vel2 + [4, 5])
+    inflow, outflow = flows(man.field_access(vel1))
+    assert inflow > 0 and np.isfinite(outflow)
+
+    for _ in range(2):
+        system.begin_assembly()
+        system.assemble_problem(kt, [DOMAIN], man.field_access(vel1 + vel2), options=opts)
+        system.assemble_problem(ko, [OUTLET], dof_inds=(0, 1, 3))
+        system.end_assembly()
+        system.solve(solver)
+        system.update_solution([0, 1, 2, 3], man, vel2 + [4, 5])
+        vel1, vel2 = vel2, vel1
+    inflow, outflow = flows(man.field_access(vel1))
+    # coarse-mesh LSFEM: loose conservation bound, but the flow must be sane
+    assert inflow > 0 and abs(inflow - outflow) / inflow < 0.5
+    x = np.asarray(man.values)
+    assert np.isfinite(x).all()
+    # walls & cylinder are no-slip
+    wall_nodes = mesh.boundary_nodes_of([BOTTOM, TOP, CYLINDER])
+    assert np.abs(x[wall_nodes, 0]).max() < 1e-10
+
+
+def test_cylinder_mesh_geometry():
+    m = lt.make_cylinder_in_channel_2d(
+        left_offset=4.0, right_offset=6.0, bottom_offset=3.0, top_offset=3.0,
+        n_circumf=16, n_radial=4, n_left=3, n_right=6, n_bottom=2, n_top=2,
+    )
+    assert set(m.boundary_views) == {1, 2, 3, 4, 5}
+    # cylinder boundary nodes on the circle
+    cyl = m.boundary_nodes_of([5])
+    r = np.linalg.norm(m.node_coords[cyl][:, :2], axis=1)
+    assert np.allclose(r, 0.5, atol=1e-12)
+    # positive area, no tangled elements
+    import jax.numpy as jnp
+
+    from l3ster_tpu.algsys.local import domain_tables, element_geometry
+
+    blk = m.domains[0][0]
+    geom = element_geometry(domain_tables(blk.element_type, 1, 4), jnp.asarray(blk.vertices))
+    assert float(jnp.min(geom.weights)) > 0
