@@ -67,15 +67,16 @@ def main() -> None:
     system.assemble_problem(kn, [1, 2, 3, 4])
     system.end_assembly()
 
-    op = jax.jit(system.operator())
+    fn, consts = system.operator_parts()
+    op = jax.jit(fn)
     x = jnp.ones((system.n_dofs, 1), jnp.float32)
-    y = op(x)
+    y = op(x, *consts)
     y.block_until_ready()  # compile + warmup
 
     n_reps = 50
     t0 = time.perf_counter()
     for _ in range(n_reps):
-        x = op(x)
+        x = op(x, *consts)
     x.block_until_ready()
     dt = (time.perf_counter() - t0) / n_reps
 

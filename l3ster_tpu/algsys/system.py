@@ -288,23 +288,39 @@ class _SystemBase:
             g = g.at[jnp.asarray(self.dirichlet_dofs)].set(self.dirichlet_values)
         return g
 
-    def operator(self):
-        """Constrained SPD operator: y = free*A(free*x) + dir*x."""
+    def raw_parts(self):
+        """(fn, consts): unconstrained operator as fn(x, *consts).
+
+        Large x-independent tensors travel as jit ARGUMENTS, not closure
+        constants, so they are never inlined into the compiled program.
+        """
         raw = self.raw_operator()
+        return (lambda x, *consts: raw(x)), ()
+
+    def operator_parts(self):
+        """(fn, consts): constrained SPD operator as fn(x, *consts)."""
+        fn, consts = self.raw_parts()
         free = self.free_mask
 
-        def apply(x):
+        def apply(x, *consts):
             xm = x * free[:, None]
-            return raw(xm) * free[:, None] + x * (1.0 - free)[:, None]
+            return fn(xm, *consts) * free[:, None] + x * (1.0 - free)[:, None]
 
-        return apply
+        return apply, consts
+
+    def operator(self):
+        """Constrained SPD operator: y = free*A(free*x) + dir*x."""
+        fn, consts = self.operator_parts()
+        return lambda x: fn(x, *consts)
 
     def effective_rhs(self) -> jnp.ndarray:
         if self._effective_rhs is None:
-            raw = self.raw_operator()
+            fn, consts = self.raw_parts()
             g = self.dirichlet_extension()
             free = self.free_mask[:, None]
-            self._effective_rhs = jax.jit(lambda g, rhs: free * (rhs - raw(g)) + g)(g, self.rhs)
+            self._effective_rhs = jax.jit(
+                lambda g, rhs, *cs: free * (rhs - fn(g, *cs)) + g
+            )(g, self.rhs, *consts)
         return self._effective_rhs
 
     def solution_vector(self) -> jnp.ndarray:
@@ -598,14 +614,18 @@ class AssembledSystem(_SystemBase):
             )
 
     def raw_operator(self):
-        data, cols, rows, n = self.data, self._cols_dev, self._rows_dev, self.n_dofs
+        fn, consts = self.raw_parts()
+        return lambda x: fn(x, *consts)
 
-        def apply(x):
+    def raw_parts(self):
+        n = self.n_dofs
+
+        def apply(x, data, cols, rows):
             return jax.ops.segment_sum(
                 data[:, None] * x[cols], rows, num_segments=n, indices_are_sorted=True
             )
 
-        return apply
+        return apply, (self.data, self._cols_dev, self._rows_dev)
 
     def diagonal(self) -> jnp.ndarray:
         d = self.data[jnp.asarray(self._diag_pos)]
@@ -690,37 +710,99 @@ class MatrixFreeSystem(_SystemBase):
             return True
         return supports_sumfact(c.tables.element_type) and c.tables.order >= 2
 
-    def raw_operator(self):
-        from .local import local_apply_sumfact
+    def _row_plan(self, c: _Contribution):
+        """Node-row gather plan: if every node's kernel dofs are consecutive
+        and row-aligned, gather/scatter can move n_unk-wide rows instead of
+        scalars (~4x faster TPU gathers).  Returns (row_idx, n_rows) or None.
+        """
+        if getattr(c, "_row_plan", "unset") != "unset":
+            return c._row_plan
+        E, n_nodes, n_unk = c.elem_dofs.shape
+        plan = None
+        if n_unk > 1 and self.n_dofs % n_unk == 0:
+            starts = c.elem_dofs[:, :, 0]
+            consec = (c.elem_dofs == starts[:, :, None] + np.arange(n_unk)).all()
+            if consec and (starts % n_unk == 0).all():
+                plan = (np.asarray(starts // n_unk), self.n_dofs // n_unk)
+        c._row_plan = plan
+        return plan
 
-        contribs = list(self._contribs)
+    def _operator_data(self, c: _Contribution):
+        """Precompute x-independent operator tensors for one contribution.
+
+        The kernel operators A, the inverse Jacobians, and the quadrature
+        weights do not depend on the solution vector, so they are evaluated
+        once per assembly instead of once per operator apply (the reference
+        re-evaluates per apply; our begin/end-assembly state machine makes
+        the precompute safe, and time stepping re-registers anyway).
+        """
+        if getattr(c, "_op_data", None) is not None:
+            return c._op_data
         dtype = self.dtype
+        use_sf = self._use_sumfact(c)
+        geom, fv, fd = _contribution_geometry(
+            c, dtype, with_phys_ders=not use_sf or c.field_access is not None
+        )
+        A, _ = eval_equation_kernel(c.kernel, geom, fv, fd, c.time, dtype)
+        if use_sf:
+            from .local import pack_sumfact_operator
 
-        def apply(x):
+            A_t, Ji_t, w_t = pack_sumfact_operator(A, geom, c.tables.dim)
+            c._op_data = ("sumfact", A_t, Ji_t, w_t)
+        else:
+            B = _basis_stack(c.tables, geom, dtype)
+            c._op_data = ("direct", A, B, geom.weights)
+        return c._op_data
+
+    def raw_operator(self):
+        fn, consts = self.raw_parts()
+        return lambda x: fn(x, *consts)
+
+    def raw_parts(self):
+        from .local import local_apply_sumfact_packed
+
+        contribs = [c for c in self._contribs if c.mode != "rhs"]
+        dtype = self.dtype
+        spec = []
+        consts: list = []
+        for c in contribs:
+            d = self._operator_data(c)
+            spec.append((d[0], len(consts), len(d) - 1))
+            consts.extend(d[1:])
+
+        def apply(x, *consts):
             y = jnp.zeros_like(x)
-            for c in contribs:
-                if c.mode == "rhs":
-                    continue
-                use_sf = self._use_sumfact(c)
-                geom, fv, fd = _contribution_geometry(c, dtype, with_phys_ders=not use_sf or c.field_access is not None)
-                A, _ = eval_equation_kernel(c.kernel, geom, fv, fd, c.time, dtype)
+            for c, (kind, off, nargs) in zip(contribs, spec):
+                d = (kind,) + tuple(consts[off : off + nargs])
                 E, n_nodes, n_unk = c.elem_dofs.shape
-                idx = jnp.asarray(c.elem_dofs.reshape(E, n_nodes * n_unk))
-                if not use_sf:
-                    B = _basis_stack(c.tables, geom, dtype)
+                rows = self._row_plan(c)
+                if rows is None:
+                    idx = jnp.asarray(c.elem_dofs.reshape(E, n_nodes * n_unk))
+                else:
+                    row_idx = jnp.asarray(rows[0])
+                    n_rows = rows[1]
+                q_order = c.options.quadrature_order(c.tables.order)
                 for r in range(x.shape[1]):
-                    x_loc = x[idx, r].reshape(E, n_nodes, n_unk)
-                    if use_sf:
-                        q_order = c.options.quadrature_order(c.tables.order)
-                        y_loc = local_apply_sumfact(
-                            A, geom, c.tables.order, q_order, c.tables.dim, x_loc
+                    if rows is not None:
+                        x_loc = x[:, r].reshape(n_rows, n_unk)[row_idx]
+                    else:
+                        x_loc = x[idx, r].reshape(E, n_nodes, n_unk)
+                    if d[0] == "sumfact":
+                        _, A_t, Ji_t, w_t = d
+                        y_loc = local_apply_sumfact_packed(
+                            A_t, Ji_t, w_t, E, c.tables.order, q_order, c.tables.dim, x_loc
                         )
                     else:
-                        y_loc = local_apply_direct(A, B, geom.weights, x_loc)
-                    y = y.at[idx.reshape(-1), r].add(y_loc.reshape(-1))
+                        _, A, B, w = d
+                        y_loc = local_apply_direct(A, B, w, x_loc)
+                    if rows is not None:
+                        yr = jnp.zeros((n_rows, n_unk), dtype).at[row_idx].add(y_loc)
+                        y = y.at[:, r].add(yr.reshape(-1))
+                    else:
+                        y = y.at[idx.reshape(-1), r].add(y_loc.reshape(-1))
             return y
 
-        return apply
+        return apply, tuple(consts)
 
     def diagonal(self) -> jnp.ndarray:
         if self._diag is None:

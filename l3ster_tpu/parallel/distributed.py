@@ -334,7 +334,7 @@ class DistributedSystem(_SystemBase):
         """The constrained distributed operator is built in operator()."""
         raise NotImplementedError("DistributedSystem uses operator() directly")
 
-    def operator(self):
+    def operator_parts(self):
         from jax.sharding import PartitionSpec as P
 
         mesh = self.device_mesh
@@ -342,13 +342,16 @@ class DistributedSystem(_SystemBase):
         n_b = sum(2 + (1 if b.fields is not None else 0) for b in self._contribs)
         in_specs = (P("shards"),) * (7 + n_b)
         sharded = jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=P("shards"))
-        consts = (self._SI, self._RI, self._SM, self._free_local, self._dir_local, self._owned_mask)
-        arrays = self._bucket_arrays()
+        consts = (
+            self._SI, self._RI, self._SM,
+            self._free_local, self._dir_local, self._owned_mask,
+            *self._bucket_arrays(),
+        )
+        return (lambda x, *cs: sharded(x, *cs)), consts
 
-        def apply(x):
-            return sharded(x, *consts, *arrays)
-
-        return apply
+    def operator(self):
+        fn, consts = self.operator_parts()
+        return lambda x: fn(x, *consts)
 
     def _raw_apply_once(self, x):
         """Unconstrained apply (for effective rhs): same pipeline minus masking."""

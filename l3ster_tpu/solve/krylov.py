@@ -113,13 +113,18 @@ class CG:
     precond: object = field(default_factory=Identity)
 
     def solve(self, system) -> IterSolveResult:
-        op = system.operator()
+        fn, consts = system.operator_parts()
         M = self.precond.setup(system)
         b = system.effective_rhs()
-        solve_fn = jax.jit(
-            partial(cg_solve, op, precond=M, tol=self.opts.tol, max_iters=self.opts.max_iters)
-        )
-        x, it, res = solve_fn(b, system.solution_vector())
+        tol, max_iters = self.opts.tol, self.opts.max_iters
+
+        @jax.jit
+        def solve_fn(b, x0, *consts):
+            return cg_solve(
+                lambda v: fn(v, *consts), b, x0=x0, precond=M, tol=tol, max_iters=max_iters
+            )
+
+        x, it, res = solve_fn(b, system.solution_vector(), *consts)
         system.set_solution_vector(x)
         return IterSolveResult(tol=float(res), num_iters=int(it))
 
@@ -132,17 +137,18 @@ class Gmres:
     precond: object = field(default_factory=Identity)
 
     def solve(self, system) -> IterSolveResult:
-        op = system.operator()
+        fn, consts = system.operator_parts()
         M = self.precond.setup(system)
         b = system.effective_rhs()
-        x, it, res = gmres_solve(
-            op,
-            b,
-            x0=system.solution_vector(),
-            precond=M,
-            tol=self.opts.tol,
-            max_iters=self.opts.max_iters,
-            restart=self.opts.restart,
-        )
+        tol, max_iters, restart = self.opts.tol, self.opts.max_iters, self.opts.restart
+
+        @jax.jit
+        def solve_fn(b, x0, *consts):
+            return gmres_solve(
+                lambda v: fn(v, *consts), b, x0=x0, precond=M,
+                tol=tol, max_iters=max_iters, restart=restart,
+            )
+
+        x, it, res = solve_fn(b, system.solution_vector(), *consts)
         system.set_solution_vector(x)
         return IterSolveResult(tol=float(res), num_iters=int(it))
