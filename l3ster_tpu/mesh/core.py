@@ -137,51 +137,63 @@ class Mesh:
     # -- boundary resolution --------------------------------------------------
 
     def _build_boundary_views(self) -> None:
-        """Match each boundary facet to a unique (volume element, side)."""
+        """Match each boundary facet to a unique (volume element, side).
+
+        Vectorized hash join of sorted facet corner rows against the table of
+        all volume-element side corner rows (native C++ hash join when built,
+        numpy searchsorted join otherwise).
+        """
+        from ..native import match_rows
+
         vol_dim = self.dim
-        # Map: frozen sorted corner tuple -> (domain, block, elem idx, side)
-        side_lookup: dict[tuple, tuple] = {}
-        for did, blk in self.blocks():
-            if blk.dim != vol_dim or did in self.boundary_ids:
-                continue
+        vol_blocks = [
+            (did, blk)
+            for did, blk in self.blocks()
+            if blk.dim == vol_dim and did not in self.boundary_ids
+        ]
+        rows, meta_b, meta_s, meta_e = [], [], [], []
+        for bi, (did, blk) in enumerate(vol_blocks):
             corners = blk.corner_nodes
             for side in range(n_sides(blk.element_type)):
                 sc = side_corner_indices(blk.element_type, side)
-                keys = np.sort(corners[:, sc], axis=1)
-                for e in range(blk.n_elements):
-                    side_lookup[tuple(keys[e])] = (did, blk, e, side)
+                rows.append(np.sort(corners[:, sc], axis=1))
+                meta_b.append(np.full(blk.n_elements, bi, dtype=np.int64))
+                meta_s.append(np.full(blk.n_elements, side, dtype=np.int64))
+                meta_e.append(np.arange(blk.n_elements, dtype=np.int64))
+        if not rows:
+            raise ValueError("mesh has no volume elements to resolve boundaries against")
+        table = np.concatenate(rows)
+        meta_b = np.concatenate(meta_b)
+        meta_s = np.concatenate(meta_s)
+        meta_e = np.concatenate(meta_e)
 
         for bid in self.boundary_ids:
-            buckets: dict[tuple, list[int]] = {}
-            owners: dict[tuple, tuple] = {}
+            views = []
             for _, fblk in self.blocks([bid]):
                 if fblk.dim != vol_dim - 1:
                     raise ValueError(
                         f"boundary domain {bid} contains {fblk.dim}D elements in a {vol_dim}D mesh"
                     )
-                fcorners = np.sort(fblk.corner_nodes, axis=1)
-                for e in range(fblk.n_elements):
-                    key = tuple(fcorners[e])
-                    hit = side_lookup.get(key)
-                    if hit is None:
-                        raise ValueError(
-                            f"boundary facet in domain {bid} matches no volume element side"
-                        )
-                    did, pblk, pe, side = hit
-                    bkey = (did, id(pblk), side)
-                    buckets.setdefault(bkey, []).append(pe)
-                    owners[bkey] = (did, pblk, side)
-            views = []
-            for bkey, elems in sorted(buckets.items(), key=lambda kv: (kv[0][0], kv[0][2])):
-                did, pblk, side = owners[bkey]
-                views.append(
-                    BoundaryView(
-                        parent_domain=did,
-                        parent_block=pblk,
-                        side=side,
-                        element_indices=np.asarray(sorted(elems), dtype=np.int64),
+                hit = match_rows(table, np.sort(fblk.corner_nodes, axis=1))
+                if (hit < 0).any():
+                    raise ValueError(
+                        f"boundary facet in domain {bid} matches no volume element side"
                     )
-                )
+                # group facets by (parent block, side)
+                key = meta_b[hit] * 64 + meta_s[hit]
+                for k in np.unique(key):
+                    sel = key == k
+                    bi, side = int(k) // 64, int(k) % 64
+                    did, pblk = vol_blocks[bi]
+                    views.append(
+                        BoundaryView(
+                            parent_domain=did,
+                            parent_block=pblk,
+                            side=side,
+                            element_indices=np.sort(meta_e[hit][sel]).astype(np.int64),
+                        )
+                    )
+            views.sort(key=lambda v: (v.parent_domain, v.side))
             self.boundary_views[bid] = views
 
     def describe(self) -> str:

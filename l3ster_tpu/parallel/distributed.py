@@ -227,9 +227,18 @@ class DistributedSystem(_SystemBase):
             if not len(sel):
                 continue
             verts[p, : len(sel)] = c.verts[sel]
-            g2l = self._g2l[p]
             gd = c.elem_dofs[sel].reshape(len(sel), -1)
-            lidx[p, : len(sel)] = np.vectorize(lambda g: g2l[int(g)])(gd)
+            # vectorized global->local: [owned | ghost] are sorted segments
+            own, gh = self._owned[p], self._ghost[p]
+            pos_o = np.searchsorted(own, gd)
+            pos_o_c = np.minimum(pos_o, max(len(own) - 1, 0))
+            is_o = (pos_o < len(own)) & (own[pos_o_c] == gd) if len(own) else np.zeros_like(gd, bool)
+            pos_g = np.searchsorted(gh, gd)
+            pos_g_c = np.minimum(pos_g, max(len(gh) - 1, 0))
+            is_g = (pos_g < len(gh)) & (gh[pos_g_c] == gd) if len(gh) else np.zeros_like(gd, bool)
+            if not (is_o | is_g).all():
+                raise RuntimeError("element dof not present in its shard's local dof set")
+            lidx[p, : len(sel)] = np.where(is_o, pos_o_c, len(own) + pos_g_c)
             if fields is not None:
                 slots = np.asarray(fa.slots, dtype=np.int64)
                 fields[p, : len(sel)] = fvals[nodes[sel]][:, :, slots]

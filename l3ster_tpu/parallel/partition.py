@@ -92,25 +92,28 @@ def partition_mesh_elements(
 
     # facet blocks (boundary domains & any lower-dim domains): follow parent
     # via the boundary views where available, else RCB independently
+    from ..mesh.traits import side_corner_indices
+    from ..native import match_rows
+
     for did, blk in mesh.blocks():
         if id(blk) in parts:
             continue
         assigned = np.full(blk.n_elements, -1, dtype=np.int64)
         if did in mesh.boundary_ids:
-            # boundary views are bucketed per (parent block, side); recover a
-            # per-facet part from the parent element partition by corner match
-            lookup = {}
+            # recover per-facet parts from the parent element partition by
+            # a vectorized corner-row join against the boundary views
+            rows, pvals = [], []
             for bv in mesh.boundary_views.get(did, []):
-                pparts = parts[id(bv.parent_block)][bv.element_indices]
-                from ..mesh.traits import side_corner_indices
-
                 sc = side_corner_indices(bv.parent_block.element_type, bv.side)
-                keys = np.sort(bv.parent_block.corner_nodes[bv.element_indices][:, sc], axis=1)
-                for k, pp in zip(map(tuple, keys), pparts):
-                    lookup[k] = pp
-            fkeys = np.sort(blk.corner_nodes, axis=1)
-            for e, k in enumerate(map(tuple, fkeys)):
-                assigned[e] = lookup.get(k, 0)
+                rows.append(
+                    np.sort(bv.parent_block.corner_nodes[bv.element_indices][:, sc], axis=1)
+                )
+                pvals.append(parts[id(bv.parent_block)][bv.element_indices])
+            if rows:
+                table = np.concatenate(rows)
+                pvals = np.concatenate(pvals)
+                hit = match_rows(table, np.sort(blk.corner_nodes, axis=1))
+                assigned = np.where(hit >= 0, pvals[np.maximum(hit, 0)], -1)
         if (assigned < 0).any():
             assigned = partition_rcb(blk.vertices.mean(axis=1), n_parts)
         parts[id(blk)] = assigned

@@ -12,7 +12,7 @@ class IterSolverOpts:
     """Options for iterative solvers (``solve/SolverInterface.hpp:26-37``)."""
 
     tol: float = 1e-10
-    max_iters: int = 1000
+    max_iters: int = 5000
     restart: int = 50  # GMRES restart length
     verbosity: int = 0
 

@@ -1,0 +1,33 @@
+"""Native host-ops: C++ and numpy paths must agree."""
+
+import numpy as np
+
+from l3ster_tpu import native
+
+
+def test_hash_join_matches_numpy():
+    rng = np.random.default_rng(1)
+    table = np.unique(rng.integers(0, 200, size=(5000, 3)), axis=0)
+    perm = rng.permutation(len(table))
+    query = np.concatenate([table[perm[:3000]], rng.integers(500, 600, size=(100, 3))])
+    out = native.hash_join_rows(table, query)
+    ref = native._np_join(native._prep(table), native._prep(query))
+    assert np.array_equal(out, ref)
+    assert np.array_equal(out[:3000], perm[:3000])
+    assert (out[3000:] == -1).all()
+
+
+def test_unique_rows_first_occurrence():
+    rng = np.random.default_rng(2)
+    rows = rng.integers(0, 20, size=(4000, 2))
+    ui, inv = native.unique_rows(rows)
+    assert np.array_equal(rows[ui][inv], rows)
+    seen: set = set()
+    expect = [i for i, r in enumerate(map(tuple, rows)) if r not in seen and not seen.add(r)]
+    assert np.array_equal(ui, np.asarray(expect))
+
+
+def test_join_single_column():
+    table = np.asarray([5, 3, 9, 1])
+    q = np.asarray([9, 2, 5])
+    assert np.array_equal(native.hash_join_rows(table, q), [2, -1, 0])
