@@ -1,0 +1,179 @@
+"""Benchmark suite mirroring the reference's measurement axes.
+
+Analog of ``benchmarks/`` (ElementBenchmarks, LocalAssemblyBenchmarks,
+SumFactorizationBenchmarks, Diffusion3DBenchmark{,MatrixFree}): measures
+- matrix-free sum-factorized apply GFLOP/s at p = 2..8 (3D diffusion)
+- element local-assembly rate (elements/s, 3D diffusion LSFEM matrices)
+- end-to-end time-to-solve, 3D diffusion p=6 6^3 hexes, CG+Jacobi
+
+Run on the accelerator: ``python benchmarks/bench_suite.py [--quick]``.
+Prints one JSON line per measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _diffusion_3d(inp, out):
+    ops, rhs = out
+    A0, Ax, Ay, Az = ops
+    Ax[0, 1] = -1.0
+    Ay[0, 2] = -1.0
+    Az[0, 3] = -1.0
+    A0[1, 1] = -1.0
+    Ax[1, 0] = 1.0
+    A0[2, 2] = -1.0
+    Ay[2, 0] = 1.0
+    A0[3, 3] = -1.0
+    Az[3, 0] = 1.0
+    Ay[4, 3] = 1.0
+    Az[4, 2] = -1.0
+    Ax[5, 3] = -1.0
+    Az[5, 1] = 1.0
+    Ax[6, 2] = 1.0
+    Ay[6, 1] = -1.0
+
+
+def _adiabatic_3d(inp, out):
+    ops, _ = out
+    ops[0][0, 1] = inp.normal[0]
+    ops[0][0, 2] = inp.normal[1]
+    ops[0][0, 3] = inp.normal[2]
+
+
+def _flops_apply_3d(order, n_elems, n_unk, n_eq, q1):
+    n = order + 1
+    c = n_unk
+    f = 0
+    f += 2 * (2 * n * n * q1 * c * n) + 3 * (2 * n * q1 * q1 * c * n) + 4 * (2 * q1**3 * c * n)
+    Q = q1**3
+    f += 2 * Q * 9 * c + 2 * Q * 4 * n_eq * c + Q * n_eq + 2 * Q * 4 * n_eq * c + 2 * Q * 9 * c
+    f += 4 * (2 * q1 * q1 * n * c * q1) + 3 * (2 * q1 * n * n * c * q1) + 2 * (2 * n**3 * c * q1)
+    return f * n_elems
+
+
+def _emit(metric, value, unit, **extra):
+    print(json.dumps({"metric": metric, "value": round(value, 3), "unit": unit, **extra}), flush=True)
+
+
+def bench_apply_p_sweep(jnp, lt, jax, orders, n_1d=5, reps=30):
+    for p in orders:
+        mesh = lt.generate_mesh(lt.make_cube_mesh(np.linspace(0, 1, n_1d)), order=p)
+        problem = lt.ProblemDefinition(4, [0])
+        system = lt.make_algebraic_system(
+            mesh, problem, None,
+            lt.AlgebraicSystemParams(eval_strategy=lt.OperatorEvaluationStrategy.MATRIX_FREE),
+            dtype=jnp.float32,
+        )
+        kd = lt.wrap_domain_equation_kernel(
+            _diffusion_3d, lt.KernelParams(dimension=3, n_equations=7, n_unknowns=4)
+        )
+        system.begin_assembly()
+        system.assemble_problem(kd, [0])
+        system.end_assembly()
+        fn, consts = system.operator_parts()
+        op = jax.jit(fn)
+        x = jnp.ones((system.n_dofs, 1), jnp.float32)
+        x = op(x, *consts)
+        jax.block_until_ready(x)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            x = op(x, *consts)
+        jax.block_until_ready(x)
+        dt = (time.perf_counter() - t0) / reps
+        q1 = lt.AssemblyOptions().quadrature_order(p) // 2 + 1
+        gfl = _flops_apply_3d(p, (n_1d - 1) ** 3, 4, 7, q1) / dt / 1e9
+        _emit(
+            f"matrix-free apply p={p}", gfl, "GFLOP/s",
+            apply_ms=round(dt * 1e3, 3), n_dofs=system.n_dofs,
+        )
+
+
+def bench_assembly_rate(jnp, lt, jax, order=4, n_1d=5, reps=10):
+    from l3ster_tpu.algsys.local import domain_tables, element_geometry, local_system
+
+    mesh = lt.generate_mesh(lt.make_cube_mesh(np.linspace(0, 1, n_1d)), order=order)
+    blk = mesh.domains[0][0]
+    kd = lt.wrap_domain_equation_kernel(
+        _diffusion_3d, lt.KernelParams(dimension=3, n_equations=7, n_unknowns=4)
+    )
+    qo = lt.AssemblyOptions().quadrature_order(order)
+    tab = domain_tables(blk.element_type, order, qo)
+
+    def assemble(verts):
+        geom = element_geometry(tab, verts)
+        K, F = local_system(kd, tab, geom, dtype=jnp.float32, qp_chunk=128)
+        return K, F
+
+    f = jax.jit(assemble)
+    verts = jnp.asarray(blk.vertices, jnp.float32)
+    K, F = f(verts)
+    jax.block_until_ready(K)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        K, F = f(verts)
+    jax.block_until_ready(K)
+    dt = (time.perf_counter() - t0) / reps
+    _emit(
+        f"local LSFEM assembly p={order} (3D diffusion)", blk.n_elements / dt, "elements/s",
+        batch=blk.n_elements, ms=round(dt * 1e3, 3),
+    )
+
+
+def bench_time_to_solve(jnp, lt, jax, order=6, n_1d=7):
+    t_start = time.perf_counter()
+    mesh = lt.generate_mesh(lt.make_cube_mesh(np.linspace(0, 1, n_1d)), order=order)
+    problem = lt.ProblemDefinition(4, [0])
+    bcs = lt.BCDefinition(problem)
+    bcs.define_dirichlet([5, 6], [0])
+    system = lt.make_algebraic_system(
+        mesh, problem, bcs,
+        lt.AlgebraicSystemParams(eval_strategy=lt.OperatorEvaluationStrategy.MATRIX_FREE),
+        dtype=jnp.float32,
+    )
+    kd = lt.wrap_domain_equation_kernel(
+        _diffusion_3d, lt.KernelParams(dimension=3, n_equations=7, n_unknowns=4)
+    )
+    kn = lt.wrap_boundary_equation_kernel(
+        _adiabatic_3d, lt.KernelParams(dimension=3, n_equations=1, n_unknowns=4)
+    )
+    kdir = lt.wrap_boundary_residual_kernel(
+        lambda i, o: o.__setitem__(0, i.point.x), lt.KernelParams(dimension=3, n_equations=1)
+    )
+    system.set_dirichlet_bc_values(kdir, [5, 6], [0])
+    system.begin_assembly()
+    system.assemble_problem(kd, [0])
+    system.assemble_problem(kn, [1, 2, 3, 4])
+    system.end_assembly()
+    t_setup = time.perf_counter()
+    res = system.solve(lt.CG(lt.IterSolverOpts(tol=1e-6, max_iters=20000), precond=lt.Jacobi()))
+    t_solved = time.perf_counter()
+    _emit(
+        f"time-to-solve 3D diffusion p={order} {(n_1d-1)**3} hexes (f32, CG+Jacobi tol 1e-6)",
+        t_solved - t_start, "s",
+        setup_s=round(t_setup - t_start, 2), solve_s=round(t_solved - t_setup, 2),
+        iters=res.num_iters, n_dofs=system.n_dofs, residual=res.tol,
+    )
+
+
+def main():
+    import jax
+
+    import l3ster_tpu as lt
+    import jax.numpy as jnp
+
+    quick = "--quick" in sys.argv
+    _emit("device", 0, str(jax.devices()[0]))
+    bench_apply_p_sweep(jnp, lt, jax, [2, 4, 6] if quick else [2, 3, 4, 5, 6, 7, 8])
+    bench_assembly_rate(jnp, lt, jax, order=2 if quick else 4)
+    if not quick:
+        bench_time_to_solve(jnp, lt, jax)
+
+
+if __name__ == "__main__":
+    main()

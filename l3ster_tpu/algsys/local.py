@@ -459,11 +459,9 @@ def local_apply_sumfact_packed(
             [sum(Ji_t[j, i] * t[1 + i][u] for i in range(dim)) for u in range(c)]
             for j in range(dim)
         ]
-        t0 = jnp.stack([v.reshape(E, Q) for v in t[0]], axis=-1)
-        td = jnp.stack(
-            [jnp.stack([tr[j][u].reshape(E, Q) for u in range(c)], axis=-1) for j in range(dim)],
-            axis=1,
-        )
+        from ..ops.sumfact import sumfact_transpose_channels
+
+        return sumfact_transpose_channels(t[0], tr, N1, D1, dim, E)
     else:  # einsum fallback for very wide systems
         vals_t = jnp.moveaxis(vals.reshape(EQ, c), 0, -1)
         rders_t = jnp.moveaxis(jnp.swapaxes(rders, 1, 2).reshape(EQ, dim, c), 0, -1)
@@ -476,6 +474,69 @@ def local_apply_sumfact_packed(
         t0 = jnp.moveaxis(t[0], -1, 0).reshape(E, Q, c)
         td = jnp.moveaxis(t_ref, -1, 0).reshape(E, Q, dim, c).transpose(0, 2, 1, 3)
     return sumfact_transpose(t0, td, N1, D1, dim)
+
+
+def local_apply_sumfact_const(
+    A_const: np.ndarray,
+    Ji_t: jnp.ndarray,
+    w_t: jnp.ndarray,
+    E: int,
+    order: int,
+    q_order: int,
+    dim: int,
+    x_loc: jnp.ndarray,
+) -> jnp.ndarray:
+    """Sum-factorized local apply for CONSTANT-coefficient kernels.
+
+    When the user kernel's operators A do not depend on position or fields,
+    A is a single small (dim+1, n_eq, n_unk) matrix of python scalars: the
+    per-QP chains bake the coefficients into the instruction stream, skip the
+    (many) structural zeros, and eliminate all A memory traffic -- the
+    dominant HBM cost of the generic packed apply.
+    """
+    from ..ops.sumfact import sumfact_interpolate, sumfact_tables_1d, sumfact_transpose
+
+    N1, D1, _ = sumfact_tables_1d(order, q_order)
+    N1 = jnp.asarray(N1, x_loc.dtype)
+    D1 = jnp.asarray(D1, x_loc.dtype)
+    EQ = w_t.shape[0]
+    Q = EQ // E
+    c = x_loc.shape[-1]
+    d1, n_eq = A_const.shape[0], A_const.shape[1]
+    A = np.asarray(A_const, dtype=np.float64)
+
+    vals, rders = sumfact_interpolate(x_loc, N1, D1, dim)
+    vals_l = [vals.reshape(EQ, c)[:, u] for u in range(c)]
+    rd = [[rders[:, j].reshape(EQ, c)[:, u] for u in range(c)] for j in range(dim)]
+    pders = [
+        [sum(Ji_t[j, i] * rd[j][u] for j in range(dim)) for u in range(c)] for i in range(dim)
+    ]
+    g = [vals_l] + pders
+
+    def dotA(i):
+        terms = [
+            float(A[d, i, u]) * g[d][u]
+            for d in range(d1)
+            for u in range(c)
+            if A[d, i, u] != 0.0
+        ]
+        return sum(terms) if terms else jnp.zeros((EQ,), x_loc.dtype)
+
+    r = [dotA(i) for i in range(n_eq)]
+    rw = [ri * w_t for ri in r]
+
+    def dotAT(d, u):
+        terms = [float(A[d, i, u]) * rw[i] for i in range(n_eq) if A[d, i, u] != 0.0]
+        return sum(terms) if terms else jnp.zeros((EQ,), x_loc.dtype)
+
+    t = [[dotAT(d, u) for u in range(c)] for d in range(d1)]
+    tr = [
+        [sum(Ji_t[j, i] * t[1 + i][u] for i in range(dim)) for u in range(c)]
+        for j in range(dim)
+    ]
+    from ..ops.sumfact import sumfact_transpose_channels
+
+    return sumfact_transpose_channels(t[0], tr, N1, D1, dim, E)
 
 
 def local_apply_sumfact(

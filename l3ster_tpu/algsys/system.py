@@ -373,6 +373,49 @@ class _SystemBase:
         raise NotImplementedError
 
 
+def _constant_kernel_operators(kernel, time: float):
+    """A (dim+1, n_eq, n_unk) numpy matrix when the domain kernel's operators
+    are independent of position and fields; None otherwise.
+
+    Detected by evaluating the kernel at a few random sample inputs; constant
+    coefficients are baked into the instruction stream by the const apply
+    path, eliminating all per-QP A storage and traffic.
+    """
+    if kernel.is_boundary:
+        return None
+    from ..common.kernel import DomainInput, SpaceTimePoint
+
+    p = kernel.params
+    rng = np.random.default_rng(12345)
+    probe_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    samples = []
+    try:
+        for _ in range(3):
+            inp = DomainInput(
+                jnp.asarray(rng.normal(size=(p.n_fields,)), probe_dtype),
+                jnp.asarray(rng.normal(size=(p.dimension, p.n_fields)), probe_dtype),
+                SpaceTimePoint(
+                    jnp.asarray(rng.normal(size=(3,)), probe_dtype),
+                    jnp.asarray(float(time), probe_dtype),
+                ),
+            )
+            A, _ = kernel.evaluate(inp, probe_dtype)
+            samples.append(np.asarray(A))
+    except Exception:
+        return None
+    if all(np.array_equal(samples[0], s) for s in samples[1:]) and np.isfinite(samples[0]).all():
+        return samples[0]
+    return None
+
+
+def _pack_geometry_only(geom, dim):
+    """(Ji_t (dim, dim, EQ), w_t (EQ,)) lane-major geometry tensors."""
+    E, Q = geom.weights.shape
+    EQ = E * Q
+    Ji_t = jnp.moveaxis(geom.jac_inv.reshape(EQ, dim, dim), 0, -1)
+    return Ji_t, geom.weights.reshape(EQ)
+
+
 def _contribution_geometry(c: _Contribution, dtype, with_phys_ders: bool = True):
     geom = element_geometry(c.tables, jnp.asarray(c.verts, dtype), with_phys_ders=with_phys_ders)
     fv = fd = None
@@ -743,6 +786,14 @@ class MatrixFreeSystem(_SystemBase):
         geom, fv, fd = _contribution_geometry(
             c, dtype, with_phys_ders=not use_sf or c.field_access is not None
         )
+        if use_sf:
+            A_const = _constant_kernel_operators(c.kernel, c.time)
+            if A_const is not None:
+                from ..mapping.geometry import small_inv
+
+                Ji_t, w_t = _pack_geometry_only(geom, c.tables.dim)
+                c._op_data = ("sumfact_const", A_const, Ji_t, w_t)
+                return c._op_data
         A, _ = eval_equation_kernel(c.kernel, geom, fv, fd, c.time, dtype)
         if use_sf:
             from .local import pack_sumfact_operator
@@ -761,18 +812,24 @@ class MatrixFreeSystem(_SystemBase):
     def raw_parts(self):
         from .local import local_apply_sumfact_packed
 
+        from .local import local_apply_sumfact_const
+
         contribs = [c for c in self._contribs if c.mode != "rhs"]
         dtype = self.dtype
         spec = []
         consts: list = []
         for c in contribs:
             d = self._operator_data(c)
-            spec.append((d[0], len(consts), len(d) - 1))
-            consts.extend(d[1:])
+            if d[0] == "sumfact_const":
+                spec.append((d[0], len(consts), 2, d[1]))  # static A matrix
+                consts.extend(d[2:])
+            else:
+                spec.append((d[0], len(consts), len(d) - 1, None))
+                consts.extend(d[1:])
 
         def apply(x, *consts):
             y = jnp.zeros_like(x)
-            for c, (kind, off, nargs) in zip(contribs, spec):
+            for c, (kind, off, nargs, static_A) in zip(contribs, spec):
                 d = (kind,) + tuple(consts[off : off + nargs])
                 E, n_nodes, n_unk = c.elem_dofs.shape
                 rows = self._row_plan(c)
@@ -787,7 +844,12 @@ class MatrixFreeSystem(_SystemBase):
                         x_loc = x[:, r].reshape(n_rows, n_unk)[row_idx]
                     else:
                         x_loc = x[idx, r].reshape(E, n_nodes, n_unk)
-                    if d[0] == "sumfact":
+                    if kind == "sumfact_const":
+                        _, Ji_t, w_t = d
+                        y_loc = local_apply_sumfact_const(
+                            static_A, Ji_t, w_t, E, c.tables.order, q_order, c.tables.dim, x_loc
+                        )
+                    elif kind == "sumfact":
                         _, A_t, Ji_t, w_t = d
                         y_loc = local_apply_sumfact_packed(
                             A_t, Ji_t, w_t, E, c.tables.order, q_order, c.tables.dim, x_loc

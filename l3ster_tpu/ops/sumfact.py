@@ -163,6 +163,65 @@ def sumfact_transpose(t0: jnp.ndarray, td: jnp.ndarray, N1: jnp.ndarray, D1: jnp
     raise ValueError(f"sum factorization supports dim 2/3, got {dim}")
 
 
+def sumfact_transpose_channels(t0_ch, td_ch, N1: jnp.ndarray, D1: jnp.ndarray, dim: int, E: int):
+    """Transpose sweep consuming per-channel flat (E*Q,) vectors directly.
+
+    Equivalent to :func:`sumfact_transpose` but avoids stacking the channel
+    vectors into an (E, Q, c) tensor first -- the stack breaks XLA's fusion of
+    the sweep stages (measured ~2.4ms -> ~0.9ms on the p=6 benchmark).
+
+    t0_ch: list of c vectors (E*Q,); td_ch: [dim][c] vectors (E*Q,).
+    Returns y (E, n_nodes, c).
+    """
+    nq = N1.shape[0]
+    N1T, D1T = N1.T, D1.T
+    c = len(t0_ch)
+
+    if dim == 2:
+        sh = (E, nq, nq)
+
+        def cy(s, MT):
+            return jnp.einsum("yr,Erq->Eyq", MT, s)
+
+        def cx(s, MT):
+            return jnp.einsum("xq,Eyq->Eyx", MT, s)
+
+        ys = []
+        for u in range(c):
+            t0 = t0_ch[u].reshape(sh)
+            tx, ty = td_ch[0][u].reshape(sh), td_ch[1][u].reshape(sh)
+            a = cy(t0, N1T) + cy(ty, D1T)
+            ax = cy(tx, N1T)
+            ys.append((cx(a, N1T) + cx(ax, D1T)).reshape(E, -1))
+        return jnp.stack(ys, axis=-1)
+    if dim == 3:
+        sh = (E, nq, nq, nq)
+
+        def cz(s, MT):
+            return jnp.einsum("zs,Esrq->Ezrq", MT, s)
+
+        def cy(s, MT):
+            return jnp.einsum("yr,Ezrq->Ezyq", MT, s)
+
+        def cx(s, MT):
+            return jnp.einsum("xq,Ezyq->Ezyx", MT, s)
+
+        ys = []
+        for u in range(c):
+            t0 = t0_ch[u].reshape(sh)
+            tx = td_ch[0][u].reshape(sh)
+            ty = td_ch[1][u].reshape(sh)
+            tz = td_ch[2][u].reshape(sh)
+            b = cz(t0, N1T) + cz(tz, D1T)
+            by = cz(ty, N1T)
+            bx = cz(tx, N1T)
+            a = cy(b, N1T) + cy(by, D1T)
+            ax = cy(bx, N1T)
+            ys.append((cx(a, N1T) + cx(ax, D1T)).reshape(E, -1))
+        return jnp.stack(ys, axis=-1)
+    raise ValueError(f"dim must be 2 or 3, got {dim}")
+
+
 def sumfact_transpose_general(s: jnp.ndarray, axis_tables: list, dim: int) -> jnp.ndarray:
     """Transpose sweep of a scalar QP field with arbitrary per-axis 1D tables.
 

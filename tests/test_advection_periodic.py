@@ -93,7 +93,8 @@ def test_advection_periodic_2d(strategy):
         manager.set_fields_from_kernel(sol_k_bc, [BOTTOM, TOP, LEFT, RIGHT], [i], time=t)
 
     solver = lt.CG(lt.IterSolverOpts(tol=1e-10, max_iters=2000), precond=lt.Jacobi())
-    n_steps = round(W / DT)
+    # a fraction of the period keeps the oracle valid and the test fast
+    n_steps = 8
     for step in range(1, n_steps + 1):
         t = step * DT
         system.set_dirichlet_bc_values(sol_k_bc, [BOTTOM, TOP], [0], time=t)
