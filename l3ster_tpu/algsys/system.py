@@ -747,11 +747,28 @@ class MatrixFreeSystem(_SystemBase):
             return False
         if strat == LocalEvalStrategy.DIRECT:
             return False
-        if strat == LocalEvalStrategy.SUM_FACT:
+        if strat in (LocalEvalStrategy.SUM_FACT, LocalEvalStrategy.SUM_FACT_PALLAS):
             if not supports_sumfact(c.tables.element_type):
                 raise ValueError("sum factorization requires tensor-product Quad/Hex elements")
             return True
         return supports_sumfact(c.tables.element_type) and c.tables.order >= 2
+
+    def _use_pallas(self, c: _Contribution) -> bool:
+        """Fused Pallas kernel: explicit opt-in (options or L3STER_TPU_PALLAS=1),
+        constant-coefficient volume kernels on Quad/Hex only."""
+        import os
+
+        from ..common.enums import LocalEvalStrategy
+
+        if not self._use_sumfact(c):
+            return False
+        strat = c.options.eval_strategy
+        if strat == LocalEvalStrategy.SUM_FACT_PALLAS:
+            return True
+        return (
+            strat == LocalEvalStrategy.AUTO
+            and os.environ.get("L3STER_TPU_PALLAS", "0") not in ("0", "", "false")
+        )
 
     def _row_plan(self, c: _Contribution):
         """Node-row gather plan: if every node's kernel dofs are consecutive
@@ -789,8 +806,9 @@ class MatrixFreeSystem(_SystemBase):
         if use_sf:
             A_const = _constant_kernel_operators(c.kernel, c.time)
             if A_const is not None:
-                from ..mapping.geometry import small_inv
-
+                if self._use_pallas(c):
+                    c._op_data = ("pallas", A_const, geom.jac_inv, geom.weights)
+                    return c._op_data
                 Ji_t, w_t = _pack_geometry_only(geom, c.tables.dim)
                 c._op_data = ("sumfact_const", A_const, Ji_t, w_t)
                 return c._op_data
@@ -820,7 +838,7 @@ class MatrixFreeSystem(_SystemBase):
         consts: list = []
         for c in contribs:
             d = self._operator_data(c)
-            if d[0] == "sumfact_const":
+            if d[0] in ("sumfact_const", "pallas"):
                 spec.append((d[0], len(consts), 2, d[1]))  # static A matrix
                 consts.extend(d[2:])
             else:
@@ -844,7 +862,15 @@ class MatrixFreeSystem(_SystemBase):
                         x_loc = x[:, r].reshape(n_rows, n_unk)[row_idx]
                     else:
                         x_loc = x[idx, r].reshape(E, n_nodes, n_unk)
-                    if kind == "sumfact_const":
+                    if kind == "pallas":
+                        from ..ops.pallas_sumfact import sumfact_const_apply_pallas
+
+                        _, ji, w = d
+                        y_loc = sumfact_const_apply_pallas(
+                            static_A, ji, w, c.tables.order, q_order, c.tables.dim, x_loc,
+                            interpret=jax.default_backend() == "cpu",
+                        )
+                    elif kind == "sumfact_const":
                         _, Ji_t, w_t = d
                         y_loc = local_apply_sumfact_const(
                             static_A, Ji_t, w_t, E, c.tables.order, q_order, c.tables.dim, x_loc

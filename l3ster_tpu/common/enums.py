@@ -24,3 +24,4 @@ class LocalEvalStrategy(IntEnum):
     AUTO = 0
     DIRECT = 1  # generic per-QP evaluation, any element
     SUM_FACT = 2  # sum-factorized tensor-product sweeps (Quad/Hex)
+    SUM_FACT_PALLAS = 3  # fused Pallas TPU kernel (constant-coefficient kernels)
