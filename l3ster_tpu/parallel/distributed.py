@@ -82,6 +82,8 @@ class DistributedSystem(_SystemBase):
         self._setup_ownership()
         self._contribs: list[_ShardBucket] = []
         self._diag = None
+        self._data = None
+        self._asm = None
         # re-shape solver-facing state to the stacked layout
         P, L = self.n_shards, self.n_loc1
         self.rhs = jnp.zeros((P, L, self.n_rhs), self.dtype)
@@ -208,6 +210,8 @@ class DistributedSystem(_SystemBase):
     def _begin_impl(self) -> None:
         self._contribs = []
         self._diag = None
+        self._data = None
+        self._asm = None
         self.rhs = jnp.zeros((self.n_shards, self.n_loc1, self.n_rhs), self.dtype)
 
     def _bucket_parts(self, c: _Contribution, nodes: np.ndarray, part: np.ndarray) -> _ShardBucket:
@@ -301,10 +305,82 @@ class DistributedSystem(_SystemBase):
             return True
         return supports_sumfact(b.tables.element_type) and b.tables.order >= 2
 
+    @property
+    def _assembled_mode(self) -> bool:
+        return self.params.eval_strategy == OperatorEvaluationStrategy.GLOBAL_ASSEMBLY
+
+    def _setup_assembled(self) -> None:
+        """Per-shard local CSR pattern over [owned | ghost | dump] dof slots.
+
+        The distributed assembled operator is the sum of per-shard partial
+        matrices (each shard's own element contributions, including ghost
+        rows): apply = import -> local SpMV -> ghost export, exactly the
+        Tpetra FECrsMatrix semantics without a cross-shard matrix migration.
+        """
+        P, L1 = self.n_shards, self.n_loc1
+        op_buckets = [b for b in self._contribs if b.mode != "rhs"]
+        keys_per_shard = []
+        for p in range(P):
+            parts = []
+            for b in op_buckets:
+                li = b.local_idx[p]  # (E_max, L)
+                Lw = li.shape[1]
+                r = np.repeat(li, Lw, axis=1).reshape(-1)
+                cc = np.tile(li, (1, Lw)).reshape(-1)
+                parts.append(np.unique(r * L1 + cc))
+            keys_per_shard.append(np.unique(np.concatenate(parts)) if parts else
+                                  np.asarray([self._dump * L1 + self._dump]))
+        nnz_max = max(len(k) for k in keys_per_shard)
+        pad_key = self._dump * L1 + self._dump
+        rows = np.full((P, nnz_max), self._dump, dtype=np.int64)
+        cols = np.full((P, nnz_max), self._dump, dtype=np.int64)
+        pos_per_bucket = [
+            np.zeros((P, b.local_idx.shape[1] * b.local_idx.shape[2] ** 2), dtype=np.int64)
+            for b in op_buckets
+        ]
+        for p in range(P):
+            k = keys_per_shard[p]
+            # keep sorted; pad keys sort after real ones iff dump is the max slot
+            rows[p, : len(k)] = k // L1
+            cols[p, : len(k)] = k % L1
+            for bi, b in enumerate(op_buckets):
+                li = b.local_idx[p]
+                Lw = li.shape[1]
+                r = np.repeat(li, Lw, axis=1).reshape(-1)
+                cc = np.tile(li, (1, Lw)).reshape(-1)
+                pos = np.searchsorted(k, r * L1 + cc)
+                pos_per_bucket[bi][p] = pos
+        # rows must be sorted per shard for segment_sum(indices_are_sorted)
+        self._asm = {
+            "rows": jnp.asarray(rows, jnp.int32),
+            "cols": jnp.asarray(cols, jnp.int32),
+            "pos": [jnp.asarray(pp, jnp.int32) for pp in pos_per_bucket],
+            "nnz": nnz_max,
+            "buckets": op_buckets,
+        }
+
     def _shard_fn(self):
         """Build the per-shard traced function over (x, *bucket arrays)."""
         dtype = self.dtype
         buckets = list(self._contribs)
+
+        if self._assembled_mode:
+            L1 = self.n_loc1
+
+            def fn(x, SI, RI, SM, free_l, dir_l, owned_l, data, rows, cols):
+                x, SI, RI, SM = x[0], SI[0], RI[0], SM[0]
+                free_l, dir_l, owned_l = free_l[0], dir_l[0], owned_l[0]
+                data, rows, cols = data[0], rows[0], cols[0]
+                xm = x * free_l[:, None]
+                xg = self._import(xm, SI, RI)
+                y = jax.ops.segment_sum(
+                    data[:, None] * xg[cols], rows, num_segments=L1, indices_are_sorted=True
+                )
+                y = self._export(y, SI, RI, SM)
+                y = y * owned_l[:, None]
+                return (y * free_l[:, None] + x * dir_l[:, None])[None]
+
+            return fn
 
         def fn(x, SI, RI, SM, free_l, dir_l, owned_l, *arrays):
             # shard_map blocks keep a leading local axis of size 1: drop it
@@ -348,6 +424,17 @@ class DistributedSystem(_SystemBase):
 
         mesh = self.device_mesh
         fn = self._shard_fn()
+        if self._assembled_mode:
+            if self._data is None:
+                raise RuntimeError("assembled distributed operator available after end_assembly")
+            in_specs = (P("shards"),) * 10
+            sharded = jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=P("shards"))
+            consts = (
+                self._SI, self._RI, self._SM,
+                self._free_local, self._dir_local, self._owned_mask,
+                self._data, self._asm["rows"], self._asm["cols"],
+            )
+            return (lambda x, *cs: sharded(x, *cs)), consts
         n_b = sum(2 + (1 if b.fields is not None else 0) for b in self._contribs)
         in_specs = (P("shards"),) * (7 + n_b)
         sharded = jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=P("shards"))
@@ -368,6 +455,28 @@ class DistributedSystem(_SystemBase):
 
         dtype = self.dtype
         buckets = list(self._contribs)
+
+        if self._assembled_mode:
+            L1 = self.n_loc1
+
+            def fn_asm(x, SI, RI, SM, owned_l, data, rows, cols):
+                x, SI, RI, SM, owned_l = x[0], SI[0], RI[0], SM[0], owned_l[0]
+                data, rows, cols = data[0], rows[0], cols[0]
+                xg = self._import(x, SI, RI)
+                y = jax.ops.segment_sum(
+                    data[:, None] * xg[cols], rows, num_segments=L1, indices_are_sorted=True
+                )
+                y = self._export(y, SI, RI, SM)
+                return (y * owned_l[:, None])[None]
+
+            sharded = jax.shard_map(
+                fn_asm, mesh=self.device_mesh, in_specs=(P("shards"),) * 8,
+                out_specs=P("shards"),
+            )
+            return sharded(
+                x, self._SI, self._RI, self._SM, self._owned_mask,
+                self._data, self._asm["rows"], self._asm["cols"],
+            )
 
         def fn(x, SI, RI, SM, owned_l, *arrays):
             x, SI, RI, SM, owned_l = x[0], SI[0], RI[0], SM[0], owned_l[0]
@@ -397,13 +506,24 @@ class DistributedSystem(_SystemBase):
 
         dtype = self.dtype
         buckets = list(self._contribs)
+        if self._assembled_mode:
+            self._setup_assembled()
+            pos_map = {id(b): pos for b, pos in zip(self._asm["buckets"], self._asm["pos"])}
+        else:
+            pos_map = {}
 
         def fn(SI, RI, SM, owned_l, *arrays):
             SI, RI, SM, owned_l = SI[0], RI[0], SM[0], owned_l[0]
             arrays = [a[0] for a in arrays]
+            n_pos = len(pos_map)
+            pos_it = iter(arrays[len(arrays) - n_pos :]) if n_pos else iter(())
+            arrays = arrays[: len(arrays) - n_pos] if n_pos else arrays
             it = iter(arrays)
             rhs = jnp.zeros((self.n_loc1, self.n_rhs), dtype)
             diag = jnp.zeros((self.n_loc1, 1), dtype)
+            data = (
+                jnp.zeros((self._asm["nnz"],), dtype) if self._assembled_mode else jnp.zeros((1,), dtype)
+            )
             for b in buckets:
                 b.verts_dev = next(it)
                 b.lidx_dev = next(it)
@@ -412,7 +532,9 @@ class DistributedSystem(_SystemBase):
                 geom = element_geometry(
                     b.tables,
                     jnp.asarray(b.verts_dev, dtype),
-                    with_phys_ders=not use_sf or b.fields_dev is not None,
+                    with_phys_ders=(
+                        self._assembled_mode or not use_sf or b.fields_dev is not None
+                    ),
                 )
                 fv = fd = None
                 if b.fields_dev is not None:
@@ -436,16 +558,28 @@ class DistributedSystem(_SystemBase):
                         B = _basis_stack(b.tables, geom, dtype)
                         d = local_diagonal(A, B, geom.weights)
                     diag = diag.at[idx].add(d.reshape(-1, 1))
+                    if self._assembled_mode:
+                        from ..algsys.local import local_system
+
+                        K, _ = local_system(b.kernel, b.tables, geom, fv, fd, b.time, dtype)
+                        pos = next(pos_it)
+                        data = data.at[pos.reshape(-1)].add(K.reshape(-1))
             rhs = self._export(rhs, SI, RI, SM) * owned_l[:, None]
             diag = self._export(diag, SI, RI, SM) * owned_l[:, None]
-            return rhs[None], diag[None]
+            return rhs[None], diag[None], data[None]
 
-        n_b = sum(2 + (1 if b.fields is not None else 0) for b in buckets)
+        pos_arrays = list(self._asm["pos"]) if self._assembled_mode else []
+        n_b = sum(2 + (1 if b.fields is not None else 0) for b in buckets) + len(pos_arrays)
         in_specs = (P("shards"),) * (4 + n_b)
         sharded = jax.shard_map(
-            fn, mesh=self.device_mesh, in_specs=in_specs, out_specs=(P("shards"), P("shards"))
+            fn, mesh=self.device_mesh, in_specs=in_specs,
+            out_specs=(P("shards"), P("shards"), P("shards")),
         )
-        rhs, diag = sharded(self._SI, self._RI, self._SM, self._owned_mask, *self._bucket_arrays())
+        rhs, diag, data = sharded(
+            self._SI, self._RI, self._SM, self._owned_mask, *self._bucket_arrays(), *pos_arrays
+        )
+        if self._assembled_mode:
+            self._data = data
         self.rhs = rhs
         diag = diag[:, :, 0]
         # unit diagonal on non-owned slots and Dirichlet dofs for Jacobi
@@ -515,8 +649,13 @@ def make_distributed_system(
     devices=None,
     dtype=None,
 ) -> DistributedSystem:
-    """Factory for the sharded matrix-free system (distributeMesh +
-    makeAlgebraicSystem analog)."""
-    if params.eval_strategy != OperatorEvaluationStrategy.MATRIX_FREE:
-        raise NotImplementedError("distributed systems currently support MATRIX_FREE only")
+    """Factory for the sharded system (distributeMesh + makeAlgebraicSystem
+    analog).  MATRIX_FREE keeps everything element-local; GLOBAL_ASSEMBLY
+    builds per-shard local CSR partial matrices (the Tpetra FECrsMatrix
+    analog) sharing the same halo-exchange machinery.  Static condensation is
+    not yet supported distributed."""
+    from ..common.enums import CondensationPolicy
+
+    if params.cond_policy != CondensationPolicy.NONE:
+        raise NotImplementedError("distributed static condensation is not supported yet")
     return DistributedSystem(mesh, problem, bc_def, params, n_shards, devices, dtype)

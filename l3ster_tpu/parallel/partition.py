@@ -35,6 +35,8 @@ def partition_rcb(
         if len(parts) == 1:
             out[idx] = parts.start
             return
+        if len(idx) == 0:  # more parts than elements: empty shards are fine
+            return
         k = len(parts) // 2
         frac_left = fractions[parts.start : parts.start + k].sum()
         frac_total = fractions[parts.start : parts.stop].sum()

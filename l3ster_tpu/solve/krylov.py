@@ -22,6 +22,16 @@ from .precond import Identity
 __all__ = ["cg_solve", "gmres_solve", "CG", "Gmres"]
 
 
+def _precond_parts(precond, system):
+    """(apply(r, *consts), consts) for a preconditioner; falls back to the
+    closure-style setup() for third-party preconditioners (small state only)."""
+    setup_parts = getattr(precond, "setup_parts", None)
+    if setup_parts is not None:
+        return setup_parts(system)
+    M = precond.setup(system)
+    return (lambda r, *pc: M(r)), ()
+
+
 def _col_dots(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Per-column inner products of (..., n_rhs) multivectors -> (n_rhs,).
 
@@ -114,17 +124,21 @@ class CG:
 
     def solve(self, system) -> IterSolveResult:
         fn, consts = system.operator_parts()
-        M = self.precond.setup(system)
+        M_fn, M_consts = _precond_parts(self.precond, system)
         b = system.effective_rhs()
         tol, max_iters = self.opts.tol, self.opts.max_iters
+        n_oc = len(consts)
 
         @jax.jit
-        def solve_fn(b, x0, *consts):
+        def solve_fn(b, x0, *all_consts):
+            oc = all_consts[:n_oc]
+            pc = all_consts[n_oc:]
             return cg_solve(
-                lambda v: fn(v, *consts), b, x0=x0, precond=M, tol=tol, max_iters=max_iters
+                lambda v: fn(v, *oc), b, x0=x0,
+                precond=lambda r: M_fn(r, *pc), tol=tol, max_iters=max_iters,
             )
 
-        x, it, res = solve_fn(b, system.solution_vector(), *consts)
+        x, it, res = solve_fn(b, system.solution_vector(), *consts, *M_consts)
         system.set_solution_vector(x)
         return IterSolveResult(tol=float(res), num_iters=int(it))
 
@@ -138,17 +152,20 @@ class Gmres:
 
     def solve(self, system) -> IterSolveResult:
         fn, consts = system.operator_parts()
-        M = self.precond.setup(system)
+        M_fn, M_consts = _precond_parts(self.precond, system)
         b = system.effective_rhs()
         tol, max_iters, restart = self.opts.tol, self.opts.max_iters, self.opts.restart
+        n_oc = len(consts)
 
         @jax.jit
-        def solve_fn(b, x0, *consts):
+        def solve_fn(b, x0, *all_consts):
+            oc = all_consts[:n_oc]
+            pc = all_consts[n_oc:]
             return gmres_solve(
-                lambda v: fn(v, *consts), b, x0=x0, precond=M,
+                lambda v: fn(v, *oc), b, x0=x0, precond=lambda r: M_fn(r, *pc),
                 tol=tol, max_iters=max_iters, restart=restart,
             )
 
-        x, it, res = solve_fn(b, system.solution_vector(), *consts)
+        x, it, res = solve_fn(b, system.solution_vector(), *consts, *M_consts)
         system.set_solution_vector(x)
         return IterSolveResult(tol=float(res), num_iters=int(it))

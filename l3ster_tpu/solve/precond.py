@@ -22,6 +22,9 @@ class Identity:
     def setup(self, system):
         return lambda r: r
 
+    def setup_parts(self, system):
+        return (lambda r, *pc: r), ()
+
 
 @dataclass(frozen=True)
 class Richardson:
@@ -33,6 +36,10 @@ class Richardson:
         f = self.factor
         return lambda r: f * r
 
+    def setup_parts(self, system):
+        f = self.factor
+        return (lambda r, *pc: f * r), ()
+
 
 @dataclass(frozen=True)
 class Jacobi:
@@ -41,9 +48,19 @@ class Jacobi:
     threshold: float = 1e-14
 
     def setup(self, system):
+        apply, pc = self.setup_parts(system)
+        return lambda r: apply(r, *pc)
+
+    def setup_parts(self, system):
+        """(apply(r, *consts), consts): the inverted diagonal travels as a jit
+        argument so solvers never inline it into the compiled program."""
         d = system.diagonal()
         inv = jnp.where(jnp.abs(d) > self.threshold, 1.0 / d, 1.0)
-        return lambda r: inv[..., None] * r if r.ndim == inv.ndim + 1 else inv * r
+
+        def apply(r, inv):
+            return inv[..., None] * r if r.ndim == inv.ndim + 1 else inv * r
+
+        return apply, (inv,)
 
 
 @dataclass(frozen=True)
@@ -60,12 +77,16 @@ class Chebyshev:
     boost: float = 1.05
 
     def setup(self, system):
-        op = system.operator()
+        apply, pc = self.setup_parts(system)
+        return lambda r: apply(r, *pc)
+
+    def setup_parts(self, system):
+        fn, oconsts = system.operator_parts()
         d = system.diagonal()
-        dinv = jnp.where(jnp.abs(d) > 1e-14, 1.0 / d, 1.0)
+        dinv_c = jnp.where(jnp.abs(d) > 1e-14, 1.0 / d, 1.0)
 
         def scaled_op(x):
-            return dinv[..., None] * op(x)
+            return dinv_c[..., None] * fn(x, *oconsts)
 
         key = jax.random.PRNGKey(0)
         v = jax.random.normal(key, d.shape + (1,), dtype=d.dtype)
@@ -78,21 +99,22 @@ class Chebyshev:
         lam_max = jnp.vdot(v, scaled_op(v)) / jnp.vdot(v, v) * self.boost
         lam_min = lam_max / self.eig_ratio
 
-        theta = 0.5 * (lam_max + lam_min)
-        delta = 0.5 * (lam_max - lam_min)
+        theta_c = 0.5 * (lam_max + lam_min)
+        delta_c = 0.5 * (lam_max - lam_min)
+        degree = self.degree
 
-        def apply(r):
+        def apply(r, dinv, theta, delta, *oc):
             # Chebyshev iteration on (D^-1 A) z = D^-1 r, z0 = 0; degree is
             # small and static, so the recurrence is unrolled at trace time.
             rs = dinv[..., None] * r
             z = rs / theta
             zp = jnp.zeros_like(z)
             rho = delta / theta
-            for _ in range(self.degree - 1):
+            for _ in range(degree - 1):
                 rho_new = 1.0 / (2.0 * theta / delta - rho)
-                resid = rs - dinv[..., None] * op(z)
+                resid = rs - dinv[..., None] * fn(z, *oc)
                 z_new = z + rho_new * ((2.0 / delta) * resid + rho * (z - zp))
                 zp, z, rho = z, z_new, rho_new
             return z
 
-        return apply
+        return apply, (dinv_c, theta_c, delta_c) + tuple(oconsts)
