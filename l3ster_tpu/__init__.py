@@ -30,8 +30,10 @@ from .mesh.generators import (
     CylinderInChannel2DIds,
     SquareMeshIds,
     graded_distribution,
+    extrude_to_3d,
     make_cube_mesh,
     make_cylinder_in_channel_2d,
+    make_cylinder_in_channel_3d,
     make_line_mesh,
     make_square_mesh,
 )

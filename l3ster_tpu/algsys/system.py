@@ -329,6 +329,30 @@ class _SystemBase:
     def set_solution_vector(self, x: jnp.ndarray) -> None:
         self.x = x.reshape(self.n_dofs, self.n_rhs)
 
+    def set_values(self, kernel, domain_ids, dof_inds=None, field_access=None, time=0.0):
+        """Set solution-vector values from a residual kernel evaluated at
+        nodes (averaged at shared nodes) -- initial conditions, the analog of
+        ``AssembledSystem::setValues`` (``algsys/AssembledSystem.hpp:158-286``)."""
+        from .values_at_nodes import compute_values_at_nodes
+
+        dof_inds = tuple(dof_inds) if dof_inds is not None else tuple(range(kernel.params.n_equations))
+        vals, mask = compute_values_at_nodes(
+            kernel, self.mesh, domain_ids, field_access, time, self.dtype
+        )  # (n_nodes, n_eq, n_rhs)
+        nodes = np.nonzero(np.asarray(mask))[0]
+        xg = np.array(self._solution_global())
+        for i, di in enumerate(dof_inds):
+            dofs = self.dofmap.node_dof[nodes, di]
+            ok = dofs >= 0
+            xg[dofs[ok]] = np.asarray(vals)[nodes[ok], i, :]
+        self._set_solution_global(xg)
+
+    def _solution_global(self) -> np.ndarray:
+        return np.array(self.x)
+
+    def _set_solution_global(self, xg: np.ndarray) -> None:
+        self.x = jnp.asarray(xg, self.dtype)
+
     def solve(self, solver):
         """Run a solver object; returns its IterSolveResult."""
         return solver.solve(self)

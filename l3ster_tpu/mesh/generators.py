@@ -25,6 +25,8 @@ __all__ = [
     "make_square_mesh",
     "make_cube_mesh",
     "make_cylinder_in_channel_2d",
+    "make_cylinder_in_channel_3d",
+    "extrude_to_3d",
     "graded_distribution",
 ]
 
@@ -355,3 +357,85 @@ def make_cylinder_in_channel_2d(
         domains=domains,
         boundary_ids=(ids.bottom, ids.top, ids.left, ids.right, ids.cylinder),
     )
+
+
+def extrude_to_3d(
+    mesh2d: Mesh,
+    distz,
+    back_id: int | None = None,
+    front_id: int | None = None,
+) -> Mesh:
+    """Extrude a 2D quad mesh into 3D hexes along z.
+
+    Every 2D volume domain becomes a hex domain with the same id; every 2D
+    boundary (line) domain becomes a quad wall with the same id; optional
+    back/front cap boundaries are added at z = distz[0] / distz[-1].  This is
+    the generalization behind the CylinderInChannel3D-style primitives
+    (``mesh/primitives/CylinderInChannel3D.hpp``).
+    """
+    distz = _as_dist(distz)
+    if mesh2d.dim != 2:
+        raise ValueError("extrude_to_3d expects a 2D mesh")
+    if any(blk.order != 1 for _, blk in mesh2d.blocks()):
+        raise ValueError("extrude an order-1 mesh, then convert_mesh_to_order")
+    n2d = mesh2d.n_nodes
+    nz = len(distz)
+    coords = np.tile(mesh2d.node_coords, (nz, 1))
+    coords[:, 2] = np.repeat(distz, n2d)
+
+    existing = set(mesh2d.domains)
+    if back_id is None:
+        back_id = max(existing) + 1
+    if front_id is None:
+        front_id = max(existing | {back_id}) + 1
+
+    domains: dict[int, list[ElementBlock]] = {}
+    boundary_ids = list(mesh2d.boundary_ids)
+
+    for did, blk in mesh2d.blocks():
+        layers_lo = blk.nodes[None, :, :] + (np.arange(nz - 1) * n2d)[:, None, None]
+        layers_hi = layers_lo + n2d
+        nodes = np.concatenate([layers_lo, layers_hi], axis=2).reshape(
+            -1, 2 * blk.nodes.shape[1]
+        )
+        if blk.element_type == ElementType.QUAD and did not in mesh2d.boundary_ids:
+            et = ElementType.HEX
+        elif blk.element_type == ElementType.LINE and did in mesh2d.boundary_ids:
+            et = ElementType.QUAD
+        else:
+            raise ValueError(f"cannot extrude {blk.element_type.name} in domain {did}")
+        new = ElementBlock(et, 1, nodes.astype(np.int64), coords[nodes])
+        domains.setdefault(did, []).append(new)
+
+    # caps from the 2D volume quads
+    for did, blk in mesh2d.blocks():
+        if did in mesh2d.boundary_ids:
+            continue
+        back = ElementBlock(ElementType.QUAD, 1, blk.nodes.copy(), coords[blk.nodes])
+        top_nodes = blk.nodes + (nz - 1) * n2d
+        front = ElementBlock(ElementType.QUAD, 1, top_nodes, coords[top_nodes])
+        domains.setdefault(back_id, []).append(back)
+        domains.setdefault(front_id, []).append(front)
+    boundary_ids += [back_id, front_id]
+
+    return Mesh(
+        dim=3,
+        n_nodes=n2d * nz,
+        node_coords=coords,
+        domains=domains,
+        boundary_ids=tuple(boundary_ids),
+    )
+
+
+def make_cylinder_in_channel_3d(
+    distz=None,
+    back_id: int = 6,
+    front_id: int = 7,
+    **kwargs,
+) -> Mesh:
+    """3D cylinder-in-channel: the 2D O-ring mesh extruded along z
+    (``mesh/primitives/CylinderInChannel3D.hpp`` analog).  Boundary ids:
+    2D ids (bottom=1, top=2, left=3, right=4, cylinder=5) + back/front caps."""
+    distz = np.linspace(-2.0, 2.0, 5) if distz is None else np.asarray(distz, float)
+    m2 = make_cylinder_in_channel_2d(**kwargs)
+    return extrude_to_3d(m2, distz, back_id=back_id, front_id=front_id)

@@ -629,6 +629,21 @@ class DistributedSystem(_SystemBase):
         sm[:, slot_inds] = vals
         solution_manager.values = jnp.asarray(sm, solution_manager.dtype)
 
+    def _solution_global(self) -> np.ndarray:
+        xs = np.asarray(self.x)
+        xg = np.zeros((self.n_dofs, self.n_rhs))
+        for p in range(self.n_shards):
+            own = self._owned[p]
+            xg[own] = xs[p, : len(own)]
+        return xg
+
+    def _set_solution_global(self, xg: np.ndarray) -> None:
+        xs = np.zeros((self.n_shards, self.n_loc1, self.n_rhs))
+        for p in range(self.n_shards):
+            own = self._owned[p]
+            xs[p, : len(own)] = xg[own]
+        self.x = jnp.asarray(xs, self.dtype)
+
     def describe(self) -> str:
         counts = [len(o) for o in self._owned]
         return (

@@ -105,3 +105,37 @@ def test_cylinder_mesh_geometry():
     blk = m.domains[0][0]
     geom = element_geometry(domain_tables(blk.element_type, 1, 4), jnp.asarray(blk.vertices))
     assert float(jnp.min(geom.weights)) > 0
+
+
+def test_extrusion_cylinder_3d():
+    """extrude_to_3d: watertight hex mesh, all 7 boundaries resolved."""
+    import jax.numpy as jnp
+
+    from l3ster_tpu.algsys.local import domain_tables, element_geometry
+
+    m = lt.make_cylinder_in_channel_3d(
+        distz=np.linspace(-1, 1, 3),
+        left_offset=4.0, right_offset=6.0, bottom_offset=3.0, top_offset=3.0,
+        n_circumf=16, n_radial=4, n_left=3, n_right=6, n_bottom=2, n_top=2,
+    )
+    assert m.dim == 3
+    assert set(m.boundary_views) == {1, 2, 3, 4, 5, 6, 7}
+    blk = m.domains[0][0]
+    g = element_geometry(domain_tables(blk.element_type, 1, 2), jnp.asarray(blk.vertices))
+    w = np.asarray(g.weights)
+    assert w.min() > 0
+    # exact volume: (channel - shoelace polygon) * depth
+    cyl2d = lt.make_cylinder_in_channel_2d(
+        left_offset=4.0, right_offset=6.0, bottom_offset=3.0, top_offset=3.0,
+        n_circumf=16, n_radial=4, n_left=3, n_right=6, n_bottom=2, n_top=2,
+    )
+    loop = cyl2d.domains[5][0]
+    pts = cyl2d.node_coords[np.concatenate([loop.nodes[:, 0], loop.nodes[-1:, 1]])][:, :2]
+    shoelace = 0.5 * abs(np.sum(pts[:-1, 0] * pts[1:, 1] - pts[1:, 0] * pts[:-1, 1]))
+    expect = ((4 + 6) * (3 + 3) - shoelace) * 2.0
+    assert abs(float(w.sum()) - expect) < 1e-9 * expect
+    # high-order conversion keeps facet/parent node identity
+    m2 = lt.generate_mesh(m, 2)
+    assert np.array_equal(
+        m2.boundary_nodes_of([5]), np.unique(m2.domains[5][0].nodes)
+    )
