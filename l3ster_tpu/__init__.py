@@ -34,6 +34,7 @@ from .mesh.generators import (
     make_cube_mesh,
     make_cylinder_in_channel_2d,
     make_cylinder_in_channel_3d,
+    make_half_cylinder_in_channel_2d,
     make_line_mesh,
     make_square_mesh,
 )

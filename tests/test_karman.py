@@ -139,3 +139,29 @@ def test_extrusion_cylinder_3d():
     assert np.array_equal(
         m2.boundary_nodes_of([5]), np.unique(m2.domains[5][0].nodes)
     )
+
+
+def test_half_cylinder_mesh():
+    """Half cylinder on the bottom wall: watertight, exact area, wall integrity."""
+    m = lt.make_half_cylinder_in_channel_2d(
+        left_offset=4.0, right_offset=6.0, top_offset=3.0,
+        n_circumf=16, n_radial=4, n_left=3, n_right=6, n_top=2,
+    )
+    assert set(m.boundary_views) == {1, 2, 3, 4, 5, 6}
+    import jax.numpy as jnp
+
+    from l3ster_tpu.algsys.local import domain_tables, element_geometry
+
+    blk = m.domains[0][0]
+    g = element_geometry(domain_tables(blk.element_type, 1, 4), jnp.asarray(blk.vertices))
+    w = np.asarray(g.weights)
+    cyl = m.domains[2][0]
+    pts = m.node_coords[np.concatenate([cyl.nodes[:, 0], cyl.nodes[-1:, 1]])][:, :2]
+    poly = np.concatenate([pts, pts[:1]])
+    half_poly = 0.5 * abs(np.sum(poly[:-1, 0] * poly[1:, 1] - poly[1:, 0] * poly[:-1, 1]))
+    expect = (4 + 6) * 3 - half_poly
+    assert w.min() > 0 and abs(w.sum() - expect) < 1e-9 * expect
+    wall = m.boundary_nodes_of([1, 3])
+    assert np.abs(m.node_coords[wall][:, 1]).max() < 1e-14
+    r = np.linalg.norm(m.node_coords[m.boundary_nodes_of([2])][:, :2], axis=1)
+    assert np.allclose(r, 0.5, atol=1e-12)
