@@ -46,6 +46,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     import l3ster_tpu as lt
+    from l3ster_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     order = 6
     n_1d = 7  # 6^3 elements, as in benchmarks/Diffusion3D.hpp

@@ -166,7 +166,9 @@ def main():
 
     import l3ster_tpu as lt
     import jax.numpy as jnp
+    from l3ster_tpu.utils.cache import enable_persistent_cache
 
+    enable_persistent_cache()
     quick = "--quick" in sys.argv
     _emit("device", 0, str(jax.devices()[0]))
     bench_apply_p_sweep(jnp, lt, jax, [2, 4, 6] if quick else [2, 3, 4, 5, 6, 7, 8])

@@ -338,9 +338,7 @@ def local_rhs_sumfact(
     """
     from ..ops.sumfact import sumfact_tables_1d, sumfact_transpose
 
-    N1, D1, _ = sumfact_tables_1d(order, q_order)
-    N1 = jnp.asarray(N1, f.dtype)
-    D1 = jnp.asarray(D1, f.dtype)
+    N1, D1, _ = sumfact_tables_1d(order, q_order)  # numpy; sweeps prep device tables
     Jinv = geom.jac_inv
     fw = f * geom.weights[:, :, None, None]  # (E,Q,n_eq,n_rhs)
     outs = []
@@ -408,6 +406,110 @@ def pack_sumfact_operator(A: jnp.ndarray, geom: ElementGeometry, dim: int):
     return A_t, Ji_t, w_t
 
 
+def _qp_algebra_packed(A_t, Ji_t, w_t, vals_l, rd, dim: int, c: int):
+    """Per-QP least-squares algebra as unrolled FMA chains on (E*Q,) vectors.
+
+    vals_l[u], rd[j][u] -> (EQ,) reference-space values/derivatives.
+    Returns (t0 [u], tr [j][u]) reference-space transpose integrands.
+    """
+    d1, n_eq = A_t.shape[0], A_t.shape[1]
+    pders = [
+        [sum(Ji_t[j, i] * rd[j][u] for j in range(dim)) for u in range(c)]
+        for i in range(dim)
+    ]
+    g = [vals_l] + pders  # g[d][u] -> (EQ,)
+    r = [
+        sum(A_t[d, i, u] * g[d][u] for d in range(d1) for u in range(c))
+        for i in range(n_eq)
+    ]
+    rw = [ri * w_t for ri in r]
+    t = [
+        [sum(A_t[d, i, u] * rw[i] for i in range(n_eq)) for u in range(c)]
+        for d in range(d1)
+    ]
+    tr = [
+        [sum(Ji_t[j, i] * t[1 + i][u] for i in range(dim)) for u in range(c)]
+        for j in range(dim)
+    ]
+    return t[0], tr
+
+
+def _qp_algebra_const(A: np.ndarray, Ji_t, w_t, vals_l, rd, dim: int, c: int, dtype):
+    """Constant-coefficient per-QP algebra: A's scalars are baked into the
+    instruction stream and structural zeros are skipped entirely."""
+    d1, n_eq = A.shape[0], A.shape[1]
+    EQ = w_t.shape[0]
+    pders = [
+        [sum(Ji_t[j, i] * rd[j][u] for j in range(dim)) for u in range(c)] for i in range(dim)
+    ]
+    g = [vals_l] + pders
+
+    def dotA(i):
+        terms = [
+            float(A[d, i, u]) * g[d][u]
+            for d in range(d1)
+            for u in range(c)
+            if A[d, i, u] != 0.0
+        ]
+        return sum(terms) if terms else jnp.zeros((EQ,), dtype)
+
+    r = [dotA(i) for i in range(n_eq)]
+    rw = [ri * w_t for ri in r]
+
+    def dotAT(d, u):
+        terms = [float(A[d, i, u]) * rw[i] for i in range(n_eq) if A[d, i, u] != 0.0]
+        return sum(terms) if terms else jnp.zeros((EQ,), dtype)
+
+    t = [[dotAT(d, u) for u in range(c)] for d in range(d1)]
+    tr = [
+        [sum(Ji_t[j, i] * t[1 + i][u] for i in range(dim)) for u in range(c)]
+        for j in range(dim)
+    ]
+    return t[0], tr
+
+
+def local_apply_dense_packed(
+    A_t: jnp.ndarray,
+    Ji_t: jnp.ndarray,
+    w_t: jnp.ndarray,
+    Ball: jnp.ndarray,
+    E: int,
+    dim: int,
+    x_loc: jnp.ndarray,
+) -> jnp.ndarray:
+    """Dense-basis (MXU) local apply: one matmul per direction, any element.
+
+    Same math as :func:`local_apply_sumfact_packed` but the nodes<->QPs maps
+    run as single large (E*c, n) x (n, (dim+1)Q) matmuls (see
+    ``ops/dense_eval.py`` for the rationale).
+    """
+    from ..ops.dense_eval import dense_interpolate_channels, dense_transpose_channels
+
+    c = x_loc.shape[-1]
+    vals_l, rd = dense_interpolate_channels(x_loc, Ball, dim)
+    t0, tr = _qp_algebra_packed(A_t, Ji_t, w_t, vals_l, rd, dim, c)
+    return dense_transpose_channels(t0, tr, Ball, E)
+
+
+def local_apply_dense_const(
+    A_const: np.ndarray,
+    Ji_t: jnp.ndarray,
+    w_t: jnp.ndarray,
+    Ball: jnp.ndarray,
+    E: int,
+    dim: int,
+    x_loc: jnp.ndarray,
+) -> jnp.ndarray:
+    """Dense-basis (MXU) local apply for constant-coefficient kernels."""
+    from ..ops.dense_eval import dense_interpolate_channels, dense_transpose_channels
+
+    c = x_loc.shape[-1]
+    A = np.asarray(A_const, dtype=np.float64)
+    vals_l, rd = dense_interpolate_channels(x_loc, Ball, dim)
+    t0, tr = _qp_algebra_const(A, Ji_t, w_t, vals_l, rd, dim, c, x_loc.dtype)
+    return dense_transpose_channels(t0, tr, Ball, E)
+
+
 def local_apply_sumfact_packed(
     A_t: jnp.ndarray,
     Ji_t: jnp.ndarray,
@@ -428,9 +530,7 @@ def local_apply_sumfact_packed(
     """
     from ..ops.sumfact import sumfact_interpolate, sumfact_tables_1d, sumfact_transpose
 
-    N1, D1, _ = sumfact_tables_1d(order, q_order)
-    N1 = jnp.asarray(N1, x_loc.dtype)
-    D1 = jnp.asarray(D1, x_loc.dtype)
+    N1, D1, _ = sumfact_tables_1d(order, q_order)  # numpy; sweeps prep device tables
     EQ = w_t.shape[0]
     Q = EQ // E
     c = x_loc.shape[-1]
@@ -441,27 +541,10 @@ def local_apply_sumfact_packed(
     if n_eq * c * d1 <= 512:  # unrolled FMA chains (trace size bounded)
         vals_l = [vals.reshape(EQ, c)[:, u] for u in range(c)]
         rd = [[rders[:, j].reshape(EQ, c)[:, u] for u in range(c)] for j in range(dim)]
-        pders = [
-            [sum(Ji_t[j, i] * rd[j][u] for j in range(dim)) for u in range(c)]
-            for i in range(dim)
-        ]
-        g = [vals_l] + pders  # g[d][u] -> (EQ,)
-        r = [
-            sum(A_t[d, i, u] * g[d][u] for d in range(d1) for u in range(c))
-            for i in range(n_eq)
-        ]
-        rw = [ri * w_t for ri in r]
-        t = [
-            [sum(A_t[d, i, u] * rw[i] for i in range(n_eq)) for u in range(c)]
-            for d in range(d1)
-        ]
-        tr = [
-            [sum(Ji_t[j, i] * t[1 + i][u] for i in range(dim)) for u in range(c)]
-            for j in range(dim)
-        ]
+        t0, tr = _qp_algebra_packed(A_t, Ji_t, w_t, vals_l, rd, dim, c)
         from ..ops.sumfact import sumfact_transpose_channels
 
-        return sumfact_transpose_channels(t[0], tr, N1, D1, dim, E)
+        return sumfact_transpose_channels(t0, tr, N1, D1, dim, E)
     else:  # einsum fallback for very wide systems
         vals_t = jnp.moveaxis(vals.reshape(EQ, c), 0, -1)
         rders_t = jnp.moveaxis(jnp.swapaxes(rders, 1, 2).reshape(EQ, dim, c), 0, -1)
@@ -496,9 +579,7 @@ def local_apply_sumfact_const(
     """
     from ..ops.sumfact import sumfact_interpolate, sumfact_tables_1d, sumfact_transpose
 
-    N1, D1, _ = sumfact_tables_1d(order, q_order)
-    N1 = jnp.asarray(N1, x_loc.dtype)
-    D1 = jnp.asarray(D1, x_loc.dtype)
+    N1, D1, _ = sumfact_tables_1d(order, q_order)  # numpy; sweeps prep device tables
     EQ = w_t.shape[0]
     Q = EQ // E
     c = x_loc.shape[-1]
@@ -508,35 +589,10 @@ def local_apply_sumfact_const(
     vals, rders = sumfact_interpolate(x_loc, N1, D1, dim)
     vals_l = [vals.reshape(EQ, c)[:, u] for u in range(c)]
     rd = [[rders[:, j].reshape(EQ, c)[:, u] for u in range(c)] for j in range(dim)]
-    pders = [
-        [sum(Ji_t[j, i] * rd[j][u] for j in range(dim)) for u in range(c)] for i in range(dim)
-    ]
-    g = [vals_l] + pders
-
-    def dotA(i):
-        terms = [
-            float(A[d, i, u]) * g[d][u]
-            for d in range(d1)
-            for u in range(c)
-            if A[d, i, u] != 0.0
-        ]
-        return sum(terms) if terms else jnp.zeros((EQ,), x_loc.dtype)
-
-    r = [dotA(i) for i in range(n_eq)]
-    rw = [ri * w_t for ri in r]
-
-    def dotAT(d, u):
-        terms = [float(A[d, i, u]) * rw[i] for i in range(n_eq) if A[d, i, u] != 0.0]
-        return sum(terms) if terms else jnp.zeros((EQ,), x_loc.dtype)
-
-    t = [[dotAT(d, u) for u in range(c)] for d in range(d1)]
-    tr = [
-        [sum(Ji_t[j, i] * t[1 + i][u] for i in range(dim)) for u in range(c)]
-        for j in range(dim)
-    ]
+    t0, tr = _qp_algebra_const(A, Ji_t, w_t, vals_l, rd, dim, c, x_loc.dtype)
     from ..ops.sumfact import sumfact_transpose_channels
 
-    return sumfact_transpose_channels(t[0], tr, N1, D1, dim, E)
+    return sumfact_transpose_channels(t0, tr, N1, D1, dim, E)
 
 
 def local_apply_sumfact(

@@ -397,11 +397,31 @@ class _SystemBase:
         raise NotImplementedError
 
 
+def _jaxpr_outputs_constant(closed) -> bool:
+    """True iff no output of the closed jaxpr depends on any of its inputs.
+
+    Conservative taint propagation: an equation with any tainted input taints
+    all its outputs (sub-jaxprs included).  Sound -- a piecewise-constant
+    kernel (threshold coefficient etc.) is correctly reported non-constant,
+    unlike value probing at sample points.
+    """
+    from jax._src import core as jcore
+
+    jaxpr = closed.jaxpr
+    tainted = {v for v in jaxpr.invars if isinstance(v, jcore.Var)}
+    for eqn in jaxpr.eqns:
+        if any(isinstance(v, jcore.Var) and v in tainted for v in eqn.invars):
+            tainted.update(eqn.outvars)
+    return not any(isinstance(v, jcore.Var) and v in tainted for v in jaxpr.outvars)
+
+
 def _constant_kernel_operators(kernel, time: float):
     """A (dim+1, n_eq, n_unk) numpy matrix when the domain kernel's operators
-    are independent of position and fields; None otherwise.
+    are independent of position, fields, and time; None otherwise.
 
-    Detected by evaluating the kernel at a few random sample inputs; constant
+    Constancy is PROVEN by tracing ``kernel.evaluate`` to a jaxpr and checking
+    that the A outputs have no dataflow dependence on the inputs (value
+    probing would mis-classify piecewise-constant kernels).  Constant
     coefficients are baked into the instruction stream by the const apply
     path, eliminating all per-QP A storage and traffic.
     """
@@ -410,26 +430,25 @@ def _constant_kernel_operators(kernel, time: float):
     from ..common.kernel import DomainInput, SpaceTimePoint
 
     p = kernel.params
-    rng = np.random.default_rng(12345)
     probe_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    samples = []
+
+    def eval_A(vals, ders, xyz, t):
+        A, _ = kernel.evaluate(DomainInput(vals, ders, SpaceTimePoint(xyz, t)), probe_dtype)
+        return A
+
+    zeros = (
+        jnp.zeros((p.n_fields,), probe_dtype),
+        jnp.zeros((p.dimension, p.n_fields), probe_dtype),
+        jnp.zeros((3,), probe_dtype),
+        jnp.asarray(float(time), probe_dtype),
+    )
     try:
-        for _ in range(3):
-            inp = DomainInput(
-                jnp.asarray(rng.normal(size=(p.n_fields,)), probe_dtype),
-                jnp.asarray(rng.normal(size=(p.dimension, p.n_fields)), probe_dtype),
-                SpaceTimePoint(
-                    jnp.asarray(rng.normal(size=(3,)), probe_dtype),
-                    jnp.asarray(float(time), probe_dtype),
-                ),
-            )
-            A, _ = kernel.evaluate(inp, probe_dtype)
-            samples.append(np.asarray(A))
+        if not _jaxpr_outputs_constant(jax.make_jaxpr(eval_A)(*zeros)):
+            return None
+        A = np.asarray(eval_A(*zeros))
     except Exception:
         return None
-    if all(np.array_equal(samples[0], s) for s in samples[1:]) and np.isfinite(samples[0]).all():
-        return samples[0]
-    return None
+    return A if np.isfinite(A).all() else None
 
 
 def _pack_geometry_only(geom, dim):
@@ -777,6 +796,30 @@ class MatrixFreeSystem(_SystemBase):
             return True
         return supports_sumfact(c.tables.element_type) and c.tables.order >= 2
 
+    def _use_dense(self, c: _Contribution) -> bool:
+        """Dense basis-matrix (MXU) apply: AUTO default on the TPU backend,
+        explicit opt-in (``LocalEvalStrategy.DENSE_MXU``) anywhere.
+
+        The dense path trades O(p^(d+1)) sum-factorized FLOPs for O(p^2d)
+        FLOPs at ~90% MXU utilization -- the net win on TPU at all practical
+        orders (see ``ops/dense_eval.py``).  Disable with
+        ``L3STER_TPU_DENSE=0``.
+        """
+        import os
+
+        from ..common.enums import LocalEvalStrategy
+
+        if c.tables.side is not None:  # boundary contributions are direct
+            return False
+        strat = c.options.eval_strategy
+        if strat == LocalEvalStrategy.DENSE_MXU:
+            return True
+        if strat != LocalEvalStrategy.AUTO:
+            return False
+        if os.environ.get("L3STER_TPU_DENSE", "1") in ("0", "false"):
+            return False
+        return jax.default_backend() == "tpu" and c.tables.order >= 2
+
     def _use_pallas(self, c: _Contribution) -> bool:
         """Fused Pallas kernel: explicit opt-in (options or L3STER_TPU_PALLAS=1),
         constant-coefficient volume kernels on Quad/Hex only."""
@@ -811,6 +854,33 @@ class MatrixFreeSystem(_SystemBase):
         c._row_plan = plan
         return plan
 
+    def _incidence_plan(self, c: _Contribution):
+        """Inverse of the node-row scatter: inc (n_rows, K) flat positions into
+        the (E*n_nodes)-flattened local result such that
+        ``y[r] = sum_k y_loc_flat[inc[r, k]]`` (sentinel = one zero pad row).
+
+        Turns the scatter-add (slow, serialized on TPU) into a padded gather +
+        small-axis sum -- measured ~an order of magnitude faster.
+        """
+        plan = getattr(c, "_inc_plan", "unset")
+        if not (isinstance(plan, str) and plan == "unset"):
+            return plan
+        rows = self._row_plan(c)
+        if rows is None:
+            c._inc_plan = None
+            return None
+        row_idx, n_rows = rows
+        flat = row_idx.reshape(-1).astype(np.int64)
+        order = np.argsort(flat, kind="stable")
+        srows = flat[order]
+        counts = np.bincount(srows, minlength=n_rows)
+        K = int(counts.max()) if len(counts) else 1
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        inc = np.full((n_rows, K), len(flat), dtype=np.int32)
+        inc[srows, np.arange(len(flat)) - starts[srows]] = order.astype(np.int32)
+        c._inc_plan = inc
+        return inc
+
     def _operator_data(self, c: _Contribution):
         """Precompute x-independent operator tensors for one contribution.
 
@@ -823,10 +893,25 @@ class MatrixFreeSystem(_SystemBase):
         if getattr(c, "_op_data", None) is not None:
             return c._op_data
         dtype = self.dtype
-        use_sf = self._use_sumfact(c)
+        use_dense = self._use_dense(c)
+        use_sf = self._use_sumfact(c) and not use_dense
         geom, fv, fd = _contribution_geometry(
-            c, dtype, with_phys_ders=not use_sf or c.field_access is not None
+            c, dtype, with_phys_ders=not (use_sf or use_dense) or c.field_access is not None
         )
+        if use_dense:
+            from ..ops.dense_eval import dense_basis_matrix
+
+            Ball = jnp.asarray(dense_basis_matrix(c.tables), dtype)
+            Ji_t, w_t = _pack_geometry_only(geom, c.tables.dim)
+            A_const = _constant_kernel_operators(c.kernel, c.time)
+            if A_const is not None:
+                c._op_data = ("dense_const", A_const, Ji_t, w_t, Ball)
+            else:
+                A, _ = eval_equation_kernel(c.kernel, geom, fv, fd, c.time, dtype)
+                E, Q = geom.weights.shape
+                A_t = jnp.moveaxis(A.reshape(E * Q, A.shape[2], A.shape[3], A.shape[4]), 0, -1)
+                c._op_data = ("dense", A_t, Ji_t, w_t, Ball)
+            return c._op_data
         if use_sf:
             A_const = _constant_kernel_operators(c.kernel, c.time)
             if A_const is not None:
@@ -862,27 +947,42 @@ class MatrixFreeSystem(_SystemBase):
         consts: list = []
         for c in contribs:
             d = self._operator_data(c)
-            if d[0] in ("sumfact_const", "pallas"):
-                spec.append((d[0], len(consts), 2, d[1]))  # static A matrix
+            if d[0] in ("sumfact_const", "pallas", "dense_const"):
+                op = (d[0], len(consts), len(d) - 2, d[1])  # static A matrix
                 consts.extend(d[2:])
             else:
-                spec.append((d[0], len(consts), len(d) - 1, None))
+                op = (d[0], len(consts), len(d) - 1, None)
                 consts.extend(d[1:])
+            # gather/scatter index arrays are jit ARGUMENTS too (the remote
+            # compiler rejects large inlined constants)
+            import os
+
+            use_inc = os.environ.get("L3STER_TPU_INCIDENCE", "0") not in ("0", "false")
+            rows = self._row_plan(c)
+            gi = len(consts)
+            if rows is not None:
+                consts.append(jnp.asarray(rows[0]))  # row_idx (E, n_nodes)
+                if use_inc:
+                    consts.append(jnp.asarray(self._incidence_plan(c)))  # (n_rows, K)
+                spec.append(op + (gi, rows[1], use_inc))
+            else:
+                consts.append(jnp.asarray(c.elem_dofs.reshape(c.elem_dofs.shape[0], -1)))
+                spec.append(op + (gi, None, False))
 
         def apply(x, *consts):
             y = jnp.zeros_like(x)
-            for c, (kind, off, nargs, static_A) in zip(contribs, spec):
+            for c, (kind, off, nargs, static_A, gi, n_rows, use_inc) in zip(contribs, spec):
                 d = (kind,) + tuple(consts[off : off + nargs])
                 E, n_nodes, n_unk = c.elem_dofs.shape
-                rows = self._row_plan(c)
-                if rows is None:
-                    idx = jnp.asarray(c.elem_dofs.reshape(E, n_nodes * n_unk))
+                rows = n_rows is not None
+                if rows:
+                    row_idx = consts[gi]
+                    inc = consts[gi + 1] if use_inc else None
                 else:
-                    row_idx = jnp.asarray(rows[0])
-                    n_rows = rows[1]
+                    idx = consts[gi]
                 q_order = c.options.quadrature_order(c.tables.order)
                 for r in range(x.shape[1]):
-                    if rows is not None:
+                    if rows:
                         x_loc = x[:, r].reshape(n_rows, n_unk)[row_idx]
                     else:
                         x_loc = x[idx, r].reshape(E, n_nodes, n_unk)
@@ -893,6 +993,20 @@ class MatrixFreeSystem(_SystemBase):
                         y_loc = sumfact_const_apply_pallas(
                             static_A, ji, w, c.tables.order, q_order, c.tables.dim, x_loc,
                             interpret=jax.default_backend() == "cpu",
+                        )
+                    elif kind == "dense_const":
+                        from .local import local_apply_dense_const
+
+                        _, Ji_t, w_t, Ball = d
+                        y_loc = local_apply_dense_const(
+                            static_A, Ji_t, w_t, Ball, E, c.tables.dim, x_loc
+                        )
+                    elif kind == "dense":
+                        from .local import local_apply_dense_packed
+
+                        _, A_t, Ji_t, w_t, Ball = d
+                        y_loc = local_apply_dense_packed(
+                            A_t, Ji_t, w_t, Ball, E, c.tables.dim, x_loc
                         )
                     elif kind == "sumfact_const":
                         _, Ji_t, w_t = d
@@ -907,7 +1021,14 @@ class MatrixFreeSystem(_SystemBase):
                     else:
                         _, A, B, w = d
                         y_loc = local_apply_direct(A, B, w, x_loc)
-                    if rows is not None:
+                    if rows and inc is not None:
+                        # inverse-incidence gather instead of scatter-add
+                        y_pad = jnp.concatenate(
+                            [y_loc.reshape(E * n_nodes, n_unk), jnp.zeros((1, n_unk), dtype)]
+                        )
+                        yr = y_pad[inc].sum(axis=1)  # (n_rows, K, n_unk) -> (n_rows, n_unk)
+                        y = y.at[:, r].add(yr.reshape(-1))
+                    elif rows:
                         yr = jnp.zeros((n_rows, n_unk), dtype).at[row_idx].add(y_loc)
                         y = y.at[:, r].add(yr.reshape(-1))
                     else:

@@ -84,35 +84,113 @@ def cg_solve(operator, b, x0=None, precond=None, tol=1e-10, max_iters=1000):
     return x, it, res
 
 
+def _back_substitute(R: jnp.ndarray, g: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Solve R y = g for upper-triangular R (m, m, n_rhs), g (m, n_rhs).
+
+    Zero diagonal entries (happy breakdown / frozen columns) yield y=0 for
+    that row instead of NaN.  Manual loop: no LU anywhere (TPU f64 safe).
+    """
+    tiny = jnp.asarray(1e-30, R.dtype)
+
+    def body(k, y):
+        j = m - 1 - k
+        s = g[j] - jnp.sum(R[j] * y, axis=0)
+        d = R[j, j]
+        yj = jnp.where(jnp.abs(d) > tiny, s / jnp.where(jnp.abs(d) > tiny, d, 1.0), 0.0)
+        return y.at[j].set(yj)
+
+    return jax.lax.fori_loop(0, m, body, jnp.zeros_like(g))
+
+
 def gmres_solve(operator, b, x0=None, precond=None, tol=1e-10, max_iters=1000, restart=50):
-    """Restarted GMRES via jax.scipy (left-preconditioned), column by column."""
-    from jax.scipy.sparse.linalg import gmres as jax_gmres
+    """Restarted GMRES(m): native Arnoldi (modified Gram-Schmidt) + Givens.
 
+    Analog of the Belos GMRES (``solve/BelosSolvers.hpp:124-127``), built as a
+    jit-compiled ``lax.while_loop`` over restart cycles with a ``fori_loop``
+    Arnoldi inside.  Layout-agnostic: the solution vector may be (n, n_rhs)
+    or a sharded stacked (n_shards, n_local, n_rhs) -- all inner products are
+    :func:`_col_dots` reductions over every axis but the last, so each RHS
+    column runs its own Hessenberg system (pseudo-block mode), and under
+    sharding the reductions lower to psum collectives.  Left-preconditioned;
+    convergence is checked on the TRUE (unpreconditioned) relative residual at
+    each restart boundary.  Returns (x, honest inner-iteration count, res).
+    """
     b2 = b[:, None] if b.ndim == 1 else b
-    x0 = jnp.zeros_like(b2) if x0 is None else (x0[:, None] if x0.ndim == 1 else x0)
+    x0_ = jnp.zeros_like(b2) if x0 is None else (x0[:, None] if x0.ndim == 1 else x0)
     M = precond if precond is not None else (lambda r: r)
+    m = int(max(1, min(restart, max_iters)))
+    n_rhs = b2.shape[-1]
+    dt = b2.dtype
+    tiny = jnp.asarray(1e-30, dt)
 
-    cols = []
-    for j in range(b2.shape[1]):
-        bj = b2[:, j : j + 1]
-        op1 = lambda v: operator(v)
-        xj, _ = jax_gmres(
-            op1,
-            bj,
-            x0=x0[:, j : j + 1],
-            tol=tol,
-            atol=0.0,
-            restart=restart,
-            maxiter=max(1, max_iters // max(restart, 1)),
-            M=M,
-            solve_method="batched",
-        )
-        cols.append(xj)
-    x = jnp.concatenate(cols, axis=1)
-    r = b2 - operator(x)
-    bn = jnp.sqrt(_col_dots(b2, b2))
-    res = jnp.max(jnp.sqrt(_col_dots(r, r)) / jnp.where(bn > 0, bn, 1.0))
-    return (x[:, 0] if b.ndim == 1 else x), jnp.asarray(-1), res
+    bnorm = jnp.sqrt(_col_dots(b2, b2))
+    bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
+
+    def safe_div(a, d):
+        ok = jnp.abs(d) > tiny
+        return jnp.where(ok, a / jnp.where(ok, d, 1.0), 0.0)
+
+    def cycle(x):
+        r = M(b2 - operator(x))
+        beta = jnp.sqrt(_col_dots(r, r))  # (n_rhs,)
+        V = jnp.zeros((m + 1,) + b2.shape, dt)
+        V = V.at[0].set(r * safe_div(jnp.ones_like(beta), beta))
+        R = jnp.zeros((m + 1, m, n_rhs), dt)
+        cs = jnp.zeros((m, n_rhs), dt)
+        sn = jnp.zeros((m, n_rhs), dt)
+        g = jnp.zeros((m + 1, n_rhs), dt).at[0].set(beta)
+
+        def arnoldi(j, carry):
+            V, R, cs, sn, g = carry
+            w = M(operator(V[j]))
+            h = jnp.zeros((m + 1, n_rhs), dt)
+
+            def mgs(i, hw):
+                h, w = hw
+                hi = _col_dots(V[i], w)
+                return h.at[i].set(hi), w - V[i] * hi
+
+            h, w = jax.lax.fori_loop(0, j + 1, mgs, (h, w))
+            hj1 = jnp.sqrt(_col_dots(w, w))
+            h = h.at[j + 1].set(hj1)
+            V = V.at[j + 1].set(w * safe_div(jnp.ones_like(hj1), hj1))
+
+            def rot(i, h):
+                hi, hi1 = h[i], h[i + 1]
+                return h.at[i].set(cs[i] * hi + sn[i] * hi1).at[i + 1].set(
+                    -sn[i] * hi + cs[i] * hi1
+                )
+
+            h = jax.lax.fori_loop(0, j, rot, h)
+            denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
+            cj = jnp.where(denom > tiny, safe_div(h[j], denom), 1.0)
+            sj = safe_div(h[j + 1], denom)
+            cs, sn = cs.at[j].set(cj), sn.at[j].set(sj)
+            h = h.at[j].set(denom).at[j + 1].set(0.0)
+            g = g.at[j + 1].set(-sj * g[j]).at[j].set(cj * g[j])
+            R = R.at[:, j].set(h)
+            return V, R, cs, sn, g
+
+        V, R, cs, sn, g = jax.lax.fori_loop(0, m, arnoldi, (V, R, cs, sn, g))
+        y = _back_substitute(R[:m], g[:m], m)  # (m, n_rhs)
+        yb = y.reshape((m,) + (1,) * (b2.ndim - 1) + (n_rhs,))
+        return x + jnp.sum(V[:m] * yb, axis=0)
+
+    def cond(state):
+        x, it, res = state
+        return jnp.logical_and(it < max_iters, res > tol)
+
+    def body(state):
+        x, it, _ = state
+        x = cycle(x)
+        r = b2 - operator(x)
+        res = jnp.max(jnp.sqrt(_col_dots(r, r)) / bnorm)
+        return (x, it + m, res)
+
+    r0 = b2 - operator(x0_)
+    res0 = jnp.max(jnp.sqrt(_col_dots(r0, r0)) / bnorm)
+    x, it, res = jax.lax.while_loop(cond, body, (x0_, jnp.asarray(0), res0))
+    return (x[:, 0] if b.ndim == 1 else x), it, res
 
 
 @dataclass

@@ -16,3 +16,9 @@ os.environ["XLA_FLAGS"] = (
 )
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: repeated test runs skip recompiles (the
+# distributed tests' shard_map compiles dominate suite wall-clock).
+from l3ster_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
