@@ -81,7 +81,23 @@ def main() -> None:
     for _ in range(n_reps):
         x = op(x, *consts)
     x.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_reps
+    dt_dispatch = (time.perf_counter() - t0) / n_reps
+
+    # dispatch-free: chained applies inside ONE jit -- exactly how the CG
+    # while_loop runs the operator (per-call host->device dispatch through
+    # the remote tunnel costs ~1.5ms and is not part of a solve)
+    K = 100
+
+    @jax.jit
+    def chained(x, *cs):
+        return jax.lax.fori_loop(0, K, lambda i, v: fn(v, *cs), x)
+
+    y = chained(x, *consts)
+    y.block_until_ready()
+    t0 = time.perf_counter()
+    y = chained(x, *consts)
+    y.block_until_ready()
+    dt = (time.perf_counter() - t0) / K
 
     from l3ster_tpu.quadrature.rules import get_quadrature
     from l3ster_tpu.mesh.traits import ElementType
@@ -100,6 +116,7 @@ def main() -> None:
                 "vs_baseline": None,
                 "extra": {
                     "apply_ms": round(dt * 1e3, 3),
+                    "apply_ms_with_dispatch": round(dt_dispatch * 1e3, 3),
                     "n_dofs": system.n_dofs,
                     "device": str(jax.devices()[0]),
                     "dtype": "float32",

@@ -55,5 +55,9 @@ __version__ = "0.1.0"
 
 def generate_mesh(mesh: Mesh, order: int = 1) -> Mesh:
     """Convenience analog of ``generateAndDistributeMesh``: promote a generated
-    order-1 mesh to the requested element order."""
-    return convert_mesh_to_order(mesh, order)
+    order-1 mesh to the requested element order.  Tensor-grid meshes are
+    relabeled to lattice node order so element access needs no gathers
+    (``ops/lattice.py``)."""
+    from .mesh.convert_order import lattice_renumber
+
+    return lattice_renumber(convert_mesh_to_order(mesh, order))

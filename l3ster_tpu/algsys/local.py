@@ -499,12 +499,41 @@ def local_apply_dense_const(
     E: int,
     dim: int,
     x_loc: jnp.ndarray,
+    qp_pallas: bool | None = None,
 ) -> jnp.ndarray:
-    """Dense-basis (MXU) local apply for constant-coefficient kernels."""
+    """Dense-basis (MXU) local apply for constant-coefficient kernels.
+
+    On TPU the per-QP chain between the two matmuls runs as a fused Pallas
+    kernel (``ops/pallas_qp.py``) so its intermediates never touch HBM;
+    elsewhere (or with ``L3STER_TPU_PALLAS_QP=0``) it runs as XLA FMA chains.
+    """
+    import os
+
     from ..ops.dense_eval import dense_interpolate_channels, dense_transpose_channels
 
     c = x_loc.shape[-1]
     A = np.asarray(A_const, dtype=np.float64)
+    if qp_pallas is None:
+        qp_pallas = jax.default_backend() == "tpu" and os.environ.get(
+            "L3STER_TPU_PALLAS_QP", "1"
+        ) not in ("0", "false")
+    if qp_pallas:
+        from ..ops.dense_eval import _PREC
+        from ..ops.pallas_qp import qp_algebra_const_pallas
+
+        n = x_loc.shape[1]
+        d1 = dim + 1
+        Q = Ball.shape[0] // d1
+        x2 = jnp.swapaxes(x_loc, 1, 2).reshape(E * c, n)
+        G = jnp.matmul(x2, Ball.T, precision=_PREC)  # (E*c, d1*Q)
+        g = jnp.transpose(G.reshape(E, c, d1, Q), (2, 1, 0, 3)).reshape(d1 * c, E * Q)
+        ji2 = Ji_t.reshape(dim * dim, E * Q)
+        t = qp_algebra_const_pallas(
+            A, g, ji2, w_t, dim, c, interpret=jax.default_backend() == "cpu"
+        )
+        T = jnp.transpose(t.reshape(d1, c, E, Q), (2, 1, 0, 3)).reshape(E * c, d1 * Q)
+        y2 = jnp.matmul(T, Ball, precision=_PREC)
+        return jnp.swapaxes(y2.reshape(E, c, n), 1, 2)
     vals_l, rd = dense_interpolate_channels(x_loc, Ball, dim)
     t0, tr = _qp_algebra_const(A, Ji_t, w_t, vals_l, rd, dim, c, x_loc.dtype)
     return dense_transpose_channels(t0, tr, Ball, E)

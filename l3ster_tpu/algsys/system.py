@@ -796,6 +796,28 @@ class MatrixFreeSystem(_SystemBase):
             return True
         return supports_sumfact(c.tables.element_type) and c.tables.order >= 2
 
+    def _use_lattice_sf(self, c: _Contribution) -> bool:
+        """Global banded sum-factorization (``ops/lattice_sumfact.py``): the
+        fastest apply on structured lattice meshes -- AUTO default on TPU,
+        explicit opt-in (``LocalEvalStrategy.LATTICE_SF``) anywhere.  Requires
+        a lattice plan with canonical or permutable element order."""
+        import os
+
+        from ..common.enums import LocalEvalStrategy
+
+        if c.tables.side is not None:
+            return False
+        strat = c.options.eval_strategy
+        if strat == LocalEvalStrategy.LATTICE_SF:
+            if self._lattice_plan(c) is None:
+                raise ValueError("LATTICE_SF requires a structured-lattice mesh block")
+            return True
+        if strat != LocalEvalStrategy.AUTO:
+            return False
+        if os.environ.get("L3STER_TPU_LATTICE", "1") in ("0", "false"):
+            return False
+        return jax.default_backend() == "tpu" and self._lattice_plan(c) is not None
+
     def _use_dense(self, c: _Contribution) -> bool:
         """Dense basis-matrix (MXU) apply: AUTO default on the TPU backend,
         explicit opt-in (``LocalEvalStrategy.DENSE_MXU``) anywhere.
@@ -854,6 +876,28 @@ class MatrixFreeSystem(_SystemBase):
         c._row_plan = plan
         return plan
 
+    def _lattice_plan(self, c: _Contribution):
+        """Structured-lattice gather plan: (n1, ne) when this contribution's
+        node rows form a full tensor-product lattice (generated Cube/Square
+        meshes).  Element access then runs as pure slicing -- TPU gathers are
+        per-row overhead-bound (~1ms for the p=6 flagship), slicing is free.
+        """
+        plan = getattr(c, "_lat_plan", "unset")
+        if not (isinstance(plan, str) and plan == "unset"):
+            return plan
+        plan = None
+        rows = self._row_plan(c)
+        if rows is not None and c.tables.side is None:
+            from ..ops.lattice import detect_lattice_plan
+
+            plan = detect_lattice_plan(
+                np.asarray(rows[0]), rows[1], c.tables.order, c.tables.dim
+            )
+            if plan is not None and plan[2] is not None:
+                plan = (plan[0], plan[1], jnp.asarray(plan[2]), jnp.asarray(plan[3]))
+        c._lat_plan = plan
+        return plan
+
     def _incidence_plan(self, c: _Contribution):
         """Inverse of the node-row scatter: inc (n_rows, K) flat positions into
         the (E*n_nodes)-flattened local result such that
@@ -893,11 +937,35 @@ class MatrixFreeSystem(_SystemBase):
         if getattr(c, "_op_data", None) is not None:
             return c._op_data
         dtype = self.dtype
-        use_dense = self._use_dense(c)
-        use_sf = self._use_sumfact(c) and not use_dense
+        use_lat = self._use_lattice_sf(c)
+        use_dense = (not use_lat) and self._use_dense(c)
+        use_sf = self._use_sumfact(c) and not (use_dense or use_lat)
         geom, fv, fd = _contribution_geometry(
-            c, dtype, with_phys_ders=not (use_sf or use_dense) or c.field_access is not None
+            c,
+            dtype,
+            with_phys_ders=not (use_sf or use_dense or use_lat)
+            or c.field_access is not None,
         )
+        if use_lat:
+            from ..ops.lattice_sumfact import lattice_qp_perm
+
+            plan = self._lattice_plan(c)
+            n1, ne = plan[0], plan[1]
+            inv = np.asarray(plan[3]) if plan[3] is not None else None
+            q_order = c.options.quadrature_order(c.tables.order)
+            q1 = q_order // 2 + 1
+            perm = jnp.asarray(lattice_qp_perm(ne, q1, inv))
+            Ji_t, w_t = _pack_geometry_only(geom, c.tables.dim)
+            Ji_l, w_l = Ji_t[:, :, perm], w_t[perm]
+            A_const = _constant_kernel_operators(c.kernel, c.time)
+            if A_const is not None:
+                c._op_data = ("lattice_sf_const", A_const, Ji_l, w_l)
+            else:
+                A, _ = eval_equation_kernel(c.kernel, geom, fv, fd, c.time, dtype)
+                E, Q = geom.weights.shape
+                A_t = jnp.moveaxis(A.reshape((E * Q,) + A.shape[2:]), 0, -1)
+                c._op_data = ("lattice_sf", A_t[..., perm], Ji_l, w_l)
+            return c._op_data
         if use_dense:
             from ..ops.dense_eval import dense_basis_matrix
 
@@ -929,6 +997,22 @@ class MatrixFreeSystem(_SystemBase):
             c._op_data = ("sumfact", A_t, Ji_t, w_t)
         else:
             B = _basis_stack(c.tables, geom, dtype)
+            # structural restriction: drop identically-zero derivative blocks
+            # of A and basis rows with no support (e.g. a value-only boundary
+            # kernel touches only the side's surface nodes -- Lagrange traces
+            # vanish off-face), slashing the B tensor traffic per apply
+            dmask = np.asarray(jnp.max(jnp.abs(A), axis=(0, 1, 3, 4))) > 0.0
+            keep_d = np.nonzero(dmask)[0]
+            ns = None
+            if 0 < len(keep_d) < A.shape[2]:
+                A = A[:, :, keep_d]
+                B = B[:, :, keep_d]
+            if len(keep_d):
+                support = np.asarray(jnp.max(jnp.abs(B), axis=(0, 1, 2))) > 0.0
+                if not support.all() and support.any():
+                    ns = np.nonzero(support)[0]
+                    B = B[..., ns]
+            c._direct_ns = ns  # host metadata: restricted local node subset
             c._op_data = ("direct", A, B, geom.weights)
         return c._op_data
 
@@ -947,7 +1031,7 @@ class MatrixFreeSystem(_SystemBase):
         consts: list = []
         for c in contribs:
             d = self._operator_data(c)
-            if d[0] in ("sumfact_const", "pallas", "dense_const"):
+            if d[0] in ("sumfact_const", "pallas", "dense_const", "lattice_sf_const"):
                 op = (d[0], len(consts), len(d) - 2, d[1])  # static A matrix
                 consts.extend(d[2:])
             else:
@@ -959,8 +1043,17 @@ class MatrixFreeSystem(_SystemBase):
 
             use_inc = os.environ.get("L3STER_TPU_INCIDENCE", "0") not in ("0", "false")
             rows = self._row_plan(c)
+            lat = self._lattice_plan(c)
             gi = len(consts)
-            if rows is not None:
+            ns = getattr(c, "_direct_ns", None)
+            if ns is not None:  # restricted node subset (scalar index path)
+                consts.append(
+                    jnp.asarray(c.elem_dofs[:, ns].reshape(c.elem_dofs.shape[0], -1))
+                )
+                spec.append(op + (gi, None, False))
+            elif lat is not None:
+                spec.append(op + (gi, rows[1], lat))  # slicing plan: no index consts
+            elif rows is not None:
                 consts.append(jnp.asarray(rows[0]))  # row_idx (E, n_nodes)
                 if use_inc:
                     consts.append(jnp.asarray(self._incidence_plan(c)))  # (n_rows, K)
@@ -970,19 +1063,47 @@ class MatrixFreeSystem(_SystemBase):
                 spec.append(op + (gi, None, False))
 
         def apply(x, *consts):
+            from ..ops.lattice import lattice_gather, lattice_scatter_add
+
             y = jnp.zeros_like(x)
-            for c, (kind, off, nargs, static_A, gi, n_rows, use_inc) in zip(contribs, spec):
+            for c, (kind, off, nargs, static_A, gi, n_rows, flag) in zip(contribs, spec):
                 d = (kind,) + tuple(consts[off : off + nargs])
                 E, n_nodes, n_unk = c.elem_dofs.shape
+                if kind == "direct":
+                    n_nodes = d[2].shape[-1]  # possibly node-restricted B
+                if kind in ("lattice_sf_const", "lattice_sf"):
+                    from ..ops.lattice_sumfact import local_apply_lattice
+
+                    plan = self._lattice_plan(c)
+                    q_order = c.options.quadrature_order(c.tables.order)
+                    if kind == "lattice_sf_const":
+                        _, Ji_l, w_l = d
+                        A_c, A_t = static_A, None
+                    else:
+                        _, A_t, Ji_l, w_l = d
+                        A_c = None
+                    for r in range(x.shape[1]):
+                        yr = local_apply_lattice(
+                            A_c, A_t, Ji_l, w_l, c.tables.order, q_order,
+                            plan[0], plan[1], x[:, r].reshape(n_rows, n_unk),
+                        )
+                        y = y.at[:, r].add(yr.reshape(-1))
+                    continue
                 rows = n_rows is not None
-                if rows:
+                lat = flag if isinstance(flag, tuple) else None
+                inc = None
+                if lat is None and rows:
                     row_idx = consts[gi]
-                    inc = consts[gi + 1] if use_inc else None
-                else:
+                    inc = consts[gi + 1] if flag else None
+                elif lat is None:
                     idx = consts[gi]
                 q_order = c.options.quadrature_order(c.tables.order)
                 for r in range(x.shape[1]):
-                    if rows:
+                    if lat is not None:
+                        x_loc = lattice_gather(
+                            x[:, r].reshape(n_rows, n_unk), lat, c.tables.order
+                        )
+                    elif rows:
                         x_loc = x[:, r].reshape(n_rows, n_unk)[row_idx]
                     else:
                         x_loc = x[idx, r].reshape(E, n_nodes, n_unk)
@@ -1021,7 +1142,10 @@ class MatrixFreeSystem(_SystemBase):
                     else:
                         _, A, B, w = d
                         y_loc = local_apply_direct(A, B, w, x_loc)
-                    if rows and inc is not None:
+                    if lat is not None:
+                        yr = lattice_scatter_add(y_loc, lat, c.tables.order)
+                        y = y.at[:, r].add(yr.reshape(-1))
+                    elif rows and inc is not None:
                         # inverse-incidence gather instead of scatter-add
                         y_pad = jnp.concatenate(
                             [y_loc.reshape(E * n_nodes, n_unk), jnp.zeros((1, n_unk), dtype)]

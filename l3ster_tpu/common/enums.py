@@ -26,3 +26,4 @@ class LocalEvalStrategy(IntEnum):
     SUM_FACT = 2  # sum-factorized tensor-product sweeps (Quad/Hex)
     SUM_FACT_PALLAS = 3  # fused Pallas TPU kernel (constant-coefficient kernels)
     DENSE_MXU = 4  # dense (Q x n_nodes) basis matmuls: MXU-saturating, any element
+    LATTICE_SF = 5  # global banded sum-factorization (structured lattice meshes)

@@ -26,7 +26,7 @@ from .core import ElementBlock, Mesh
 from .traits import ElementType, native_dim, node_lattice, reference_node_coords
 from ..basis.tables import basis_at_points
 
-__all__ = ["convert_mesh_to_order"]
+__all__ = ["convert_mesh_to_order", "lattice_renumber"]
 
 
 @dataclass(frozen=True)
@@ -228,3 +228,48 @@ def convert_mesh_to_order(mesh: Mesh, order: int) -> Mesh:
         domains=new_domains,
         boundary_ids=mesh.boundary_ids,
     )
+
+
+def lattice_renumber(mesh: Mesh) -> Mesh:
+    """Relabel nodes to lexicographic lattice order when the node set is a
+    full axis-aligned tensor grid (every generated Cube/Square mesh).
+
+    With lattice numbering the matrix-free element gather/scatter runs as
+    pure slicing (``ops/lattice.py``) instead of TPU gathers, which are
+    per-row overhead-bound.  In-place permutation (block identity preserved);
+    a silent no-op for meshes that are not tensor grids.
+    """
+    coords = mesh.node_coords
+    dim = mesh.dim
+    idxs, sizes = [], []
+    for d in range(dim):
+        vals = coords[:, d]
+        u = np.unique(vals)
+        if len(u) > 1:
+            tol = max(1e-12, 1e-9 * (u[-1] - u[0]))
+            u = u[np.concatenate([[True], np.diff(u) > tol])]
+        else:
+            tol = 1e-12
+        pos = np.clip(np.searchsorted(u, vals), 0, len(u) - 1)
+        lo = np.clip(pos - 1, 0, len(u) - 1)
+        pos = np.where(np.abs(vals - u[lo]) < np.abs(u[pos] - vals), lo, pos)
+        if not np.all(np.abs(u[pos] - vals) <= 10 * tol):
+            return mesh
+        idxs.append(pos)
+        sizes.append(len(u))
+    if int(np.prod(sizes)) != mesh.n_nodes:
+        return mesh
+    new_ids = idxs[0].astype(np.int64)
+    stride = sizes[0]
+    for d in range(1, dim):
+        new_ids = new_ids + stride * idxs[d]
+        stride *= sizes[d]
+    if len(np.unique(new_ids)) != mesh.n_nodes:
+        return mesh
+    for blks in mesh.domains.values():
+        for b in blks:
+            b.nodes = new_ids[b.nodes]
+    nc = np.empty_like(coords)
+    nc[new_ids] = coords
+    mesh.node_coords = nc
+    return mesh

@@ -1,0 +1,182 @@
+"""Global banded sum-factorization on structured node lattices.
+
+The fastest TPU formulation of the tensor-product matrix-free apply found in
+this project (measured ~2.8x faster than per-element dense matmuls at the
+p=6 flagship): when the mesh block is a structured lattice
+(``ops/lattice.py``), the nodes->QP interpolation of ALL elements along one
+axis is a single block-banded matrix
+
+    Ng (ne*q1, n1),   Ng[e*q1 + q, e*p + i] = N1[q, i]
+
+applied to the GLOBAL lattice tensor -- one large-K matmul per axis per
+sweep, with no per-element duplication, no gathers, and no interleave
+transposes.  QP space comes out in interleaved order (ez qz, ey qy, ex qx);
+the per-QP geometry tensors are pre-permuted to match, so the least-squares
+algebra is unchanged.
+
+This is sum-factorization applied globally: O(p^(d+1)) FLOPs per element
+like the reference's ``algsys/SumFactorization.hpp``, but with contraction
+dim K = n1 (the whole lattice axis) so the MXU stays fed.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "banded_tables",
+    "lattice_qp_perm",
+    "lattice_interp",
+    "lattice_transpose",
+    "local_apply_lattice",
+]
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+@lru_cache(maxsize=None)
+def banded_tables(order: int, q_order: int, ne: int) -> tuple[np.ndarray, np.ndarray]:
+    """(Ng, Dg) block-banded global 1D tables, each (ne*q1, ne*order + 1)."""
+    from .sumfact import sumfact_tables_1d
+
+    N1, D1, _ = sumfact_tables_1d(order, q_order)
+    q1, n = N1.shape
+    Ng = np.zeros((ne * q1, ne * order + 1))
+    Dg = np.zeros_like(Ng)
+    for e in range(ne):
+        Ng[e * q1 : (e + 1) * q1, e * order : e * order + n] = N1
+        Dg[e * q1 : (e + 1) * q1, e * order : e * order + n] = D1
+    return Ng, Dg
+
+
+def lattice_qp_perm(ne: tuple, q1: int, eidx_inv=None) -> np.ndarray:
+    """perm (E*Q,): interleaved QP linear index -> block E-major index.
+
+    Use as ``arr_interleaved = arr_emajor[..., perm]``.  E-major index is
+    ``e * Q + (qx + q1*qy [+ q1^2*qz])`` with canonical element order
+    ``e = ex + nex*(ey [+ ney*ez])``; ``eidx_inv`` maps canonical element
+    index -> block element index for non-canonical block orders.
+    """
+    dim = len(ne)
+    Q = q1**dim
+    if dim == 2:
+        ex, qx = np.meshgrid(np.arange(ne[0]), np.arange(q1), indexing="ij")
+        Qxn = (ex * q1 + qx).reshape(-1)  # (ne_x*q1,)
+        ey, qy = np.meshgrid(np.arange(ne[1]), np.arange(q1), indexing="ij")
+        Ryn = (ey * q1 + qy).reshape(-1)
+        # interleaved linear = Ry * (nex*q1) + Qx; decompose back to (e, q)
+        Ry = Ryn[:, None]
+        Qx = Qxn[None, :]
+        e = (Qx // q1) + ne[0] * (Ry // q1)
+        q = (Qx % q1) + q1 * (Ry % q1)
+    else:
+        r = np.arange(ne[0] * q1)
+        s = np.arange(ne[1] * q1)
+        t = np.arange(ne[2] * q1)
+        Qx = r[None, None, :]
+        Ry = s[None, :, None]
+        Sz = t[:, None, None]
+        e = (Qx // q1) + ne[0] * ((Ry // q1) + ne[1] * (Sz // q1))
+        q = (Qx % q1) + q1 * ((Ry % q1) + q1 * (Sz % q1))
+    if eidx_inv is not None:
+        e = np.asarray(eidx_inv)[e]
+    return (e * Q + q).reshape(-1).astype(np.int64)
+
+
+def _tabs(order: int, q_order: int, ne: tuple, dtype):
+    out = []
+    for ne_a in ne:
+        Ng, Dg = banded_tables(order, q_order, ne_a)
+        out.append((jnp.asarray(Ng.T, dtype), jnp.asarray(Dg.T, dtype)))
+    return out  # per axis: (NgT (n1, Qa), DgT)
+
+
+def lattice_interp(t: jnp.ndarray, tabs):
+    """Global lattice tensor (n1_d, ..., n1_x, c) -> vals + per-axis ref ders,
+    each (Q_d, ..., Q_x, c) in interleaved QP order."""
+    dim = len(tabs)
+    if dim == 2:
+        (NxT, DxT), (NyT, DyT) = tabs
+        ax = jnp.einsum("yxc,xQ->yQc", t, NxT, precision=_PREC)
+        adx = jnp.einsum("yxc,xQ->yQc", t, DxT, precision=_PREC)
+        v = jnp.einsum("yQc,yR->RQc", ax, NyT, precision=_PREC)
+        dy = jnp.einsum("yQc,yR->RQc", ax, DyT, precision=_PREC)
+        dx = jnp.einsum("yQc,yR->RQc", adx, NyT, precision=_PREC)
+        return v, (dx, dy)
+    (NxT, DxT), (NyT, DyT), (NzT, DzT) = tabs
+    ax = jnp.einsum("zyxc,xQ->zyQc", t, NxT, precision=_PREC)
+    adx = jnp.einsum("zyxc,xQ->zyQc", t, DxT, precision=_PREC)
+    b = jnp.einsum("zyQc,yR->zRQc", ax, NyT, precision=_PREC)
+    bdy = jnp.einsum("zyQc,yR->zRQc", ax, DyT, precision=_PREC)
+    bdx = jnp.einsum("zyQc,yR->zRQc", adx, NyT, precision=_PREC)
+    v = jnp.einsum("zRQc,zS->SRQc", b, NzT, precision=_PREC)
+    dz = jnp.einsum("zRQc,zS->SRQc", b, DzT, precision=_PREC)
+    dy = jnp.einsum("zRQc,zS->SRQc", bdy, NzT, precision=_PREC)
+    dx = jnp.einsum("zRQc,zS->SRQc", bdx, NzT, precision=_PREC)
+    return v, (dx, dy, dz)
+
+
+def lattice_transpose(t0: jnp.ndarray, td, tabs):
+    """Exact transpose of :func:`lattice_interp`: interleaved QP tensors
+    (t0 values part, td per-axis derivative parts) -> (n1_d, ..., n1_x, c)."""
+    dim = len(tabs)
+    if dim == 2:
+        (NxT, DxT), (NyT, DyT) = tabs
+        a = jnp.einsum("RQc,yR->yQc", t0, NyT, precision=_PREC) + jnp.einsum(
+            "RQc,yR->yQc", td[1], DyT, precision=_PREC
+        )
+        adx = jnp.einsum("RQc,yR->yQc", td[0], NyT, precision=_PREC)
+        return jnp.einsum("yQc,xQ->yxc", a, NxT, precision=_PREC) + jnp.einsum(
+            "yQc,xQ->yxc", adx, DxT, precision=_PREC
+        )
+    (NxT, DxT), (NyT, DyT), (NzT, DzT) = tabs
+    b = jnp.einsum("SRQc,zS->zRQc", t0, NzT, precision=_PREC) + jnp.einsum(
+        "SRQc,zS->zRQc", td[2], DzT, precision=_PREC
+    )
+    bdy = jnp.einsum("SRQc,zS->zRQc", td[1], NzT, precision=_PREC)
+    bdx = jnp.einsum("SRQc,zS->zRQc", td[0], NzT, precision=_PREC)
+    a = jnp.einsum("zRQc,yR->zyQc", b, NyT, precision=_PREC) + jnp.einsum(
+        "zRQc,yR->zyQc", bdy, DyT, precision=_PREC
+    )
+    adx = jnp.einsum("zRQc,yR->zyQc", bdx, NyT, precision=_PREC)
+    return jnp.einsum("zyQc,xQ->zyxc", a, NxT, precision=_PREC) + jnp.einsum(
+        "zyQc,xQ->zyxc", adx, DxT, precision=_PREC
+    )
+
+
+def local_apply_lattice(
+    A_const,  # (dim+1, n_eq, c) numpy for const kernels, or None
+    A_t,  # (dim+1, n_eq, c, EQ) interleaved-order device tensor, or None
+    Ji_l: jnp.ndarray,  # (dim, dim, EQ) interleaved order
+    w_l: jnp.ndarray,  # (EQ,) interleaved order
+    order: int,
+    q_order: int,
+    n1: tuple,
+    ne: tuple,
+    x: jnp.ndarray,  # (n_rows, c) global lattice node rows
+) -> jnp.ndarray:
+    """Full constrained-free local apply on the global lattice; (n_rows, c)."""
+    from ..algsys.local import _qp_algebra_const, _qp_algebra_packed
+
+    dim = len(n1)
+    c = x.shape[-1]
+    q1 = q_order // 2 + 1
+    tabs = _tabs(order, q_order, ne, x.dtype)
+    t = x.reshape(tuple(reversed(n1)) + (c,))
+    v, ders = lattice_interp(t, tabs)
+    EQ = w_l.shape[0]
+    vals_l = [v[..., u].reshape(EQ) for u in range(c)]
+    rd = [[d[..., u].reshape(EQ) for u in range(c)] for d in ders]
+    if A_const is not None:
+        t0, tr = _qp_algebra_const(np.asarray(A_const), Ji_l, w_l, vals_l, rd, dim, c, x.dtype)
+    else:
+        t0, tr = _qp_algebra_packed(A_t, Ji_l, w_l, vals_l, rd, dim, c)
+    qsh = tuple(q1 * n for n in reversed(ne))
+    t0s = jnp.stack([ti.reshape(qsh) for ti in t0], axis=-1)
+    tds = [jnp.stack([tj.reshape(qsh) for tj in tr[j]], axis=-1) for j in range(dim)]
+    y = lattice_transpose(t0s, tds, tabs)
+    return y.reshape(x.shape)

@@ -69,6 +69,7 @@ class DistributedSystem(_SystemBase):
         n_shards: int | None = None,
         devices=None,
         dtype=None,
+        part_fractions=None,
     ):
         super().__init__(mesh, problem, bc_def, params, dtype)
         devices = devices if devices is not None else jax.devices()
@@ -78,7 +79,7 @@ class DistributedSystem(_SystemBase):
         self.device_mesh = jax.sharding.Mesh(
             np.asarray(devices[: self.n_shards]), ("shards",)
         )
-        self._parts = partition_mesh_elements(mesh, self.n_shards, problem)
+        self._parts = partition_mesh_elements(mesh, self.n_shards, problem, part_fractions)
         self._setup_ownership()
         self._contribs: list[_ShardBucket] = []
         self._diag = None
@@ -153,7 +154,12 @@ class DistributedSystem(_SystemBase):
         self._free_local = jnp.asarray(free_local, self.dtype)
         self._dir_local = jnp.asarray(dir_local, self.dtype)
 
-        # communication pattern: pair (owner j, holder q) exchange lists
+        # communication pattern: pair (owner j, holder q) exchange lists,
+        # grouped by ring OFFSET (q - j) mod P.  Each offset becomes one
+        # ppermute with O(pair width) buffers -- the topology-aware analog of
+        # ``comm/DistributeMesh.hpp:207-227``: RCB orders parts along a line,
+        # so neighbor exchanges ride adjacent ICI links (offsets +-1) instead
+        # of a dense O(P^2) all_to_all.
         pair_dofs: dict[tuple[int, int], np.ndarray] = {}
         ms = 1
         for q in range(P):
@@ -166,16 +172,30 @@ class DistributedSystem(_SystemBase):
                 pair_dofs[(int(j), q)] = lst
                 ms = max(ms, len(lst))
         self._max_send = ms
-        SI = np.full((P, P, ms), self._dump, dtype=np.int64)  # [j, q]: j's owned slots for q
-        RI = np.full((P, P, ms), self._dump, dtype=np.int64)  # [q, j]: q's ghost slots from j
-        SM = np.zeros((P, P, ms))
+        by_offset: dict[int, list] = {}
         for (j, q), lst in pair_dofs.items():
-            SI[j, q, : len(lst)] = [self._g2l[j][int(g)] for g in lst]
-            RI[q, j, : len(lst)] = [self._g2l[q][int(g)] for g in lst]
-            SM[j, q, : len(lst)] = 1.0
-        self._SI = jnp.asarray(SI, jnp.int32)
-        self._RI = jnp.asarray(RI, jnp.int32)
-        self._SM = jnp.asarray(SM, self.dtype)
+            by_offset.setdefault((q - j) % P, []).append((j, q, lst))
+        comm = []
+        for o in sorted(by_offset):
+            pairs = by_offset[o]
+            ms_o = max(len(lst) for _, _, lst in pairs)
+            SI = np.full((P, ms_o), self._dump, dtype=np.int64)  # owner-side owned slots
+            RI = np.full((P, ms_o), self._dump, dtype=np.int64)  # holder-side ghost slots
+            SM = np.zeros((P, ms_o))
+            for j, q, lst in pairs:
+                SI[j, : len(lst)] = [self._g2l[j][int(g)] for g in lst]
+                RI[q, : len(lst)] = [self._g2l[q][int(g)] for g in lst]
+                SM[j, : len(lst)] = 1.0
+            comm.append(
+                (
+                    int(o),
+                    jnp.asarray(SI, jnp.int32),
+                    jnp.asarray(RI, jnp.int32),
+                    jnp.asarray(SM, self.dtype),
+                )
+            )
+        self._comm = comm
+        self._n_neighbors = len(comm)
 
         # Dirichlet scatter: (shard, slot) of each global Dirichlet dof (owner side)
         if len(self.dirichlet_dofs):
@@ -190,20 +210,39 @@ class DistributedSystem(_SystemBase):
             self._dir_slot = np.empty(0, dtype=np.int64)
 
     # -- halo exchange ---------------------------------------------------------
+    #
+    # comm_args inside shard_map is the flat per-offset tuple
+    # (SI_0, RI_0, SM_0, SI_1, ...), each (ms_o,) after the shard slice.
 
-    def _import(self, x, SI, RI):
-        """Owner -> ghost propagation (Import<T> analog); x (n_loc1, r) per shard."""
-        P, ms = self.n_shards, self._max_send
-        buf = x[SI.reshape(-1)].reshape(P, ms, x.shape[-1])
-        buf = jax.lax.all_to_all(buf, "shards", 0, 0, tiled=False)
-        return x.at[RI.reshape(-1)].set(buf.reshape(-1, x.shape[-1]))
+    def _comm_offsets(self) -> list[int]:
+        return [o for o, *_ in self._comm]
 
-    def _export(self, y, SI, RI, SM):
+    def _comm_arrays(self):
+        out = []
+        for _, SI, RI, SM in self._comm:
+            out.extend((SI, RI, SM))
+        return out
+
+    def _import(self, x, comm_args):
+        """Owner -> ghost propagation (Import<T> analog); x (n_loc1, r) per shard.
+
+        One ppermute per neighbor offset: shard j sends its owned halo rows to
+        j+o, which writes them into its ghost slots."""
+        P = self.n_shards
+        for o, (SI, RI, _) in zip(self._comm_offsets(), zip(*[iter(comm_args)] * 3)):
+            buf = x[SI]
+            buf = jax.lax.ppermute(buf, "shards", [(p, (p + o) % P) for p in range(P)])
+            x = x.at[RI].set(buf)
+        return x
+
+    def _export(self, y, comm_args):
         """Ghost -> owner accumulation (Export<T> + AtomicSumInto analog)."""
-        P, ms = self.n_shards, self._max_send
-        buf = y[RI.reshape(-1)].reshape(P, ms, y.shape[-1])
-        buf = jax.lax.all_to_all(buf, "shards", 0, 0, tiled=False)
-        return y.at[SI.reshape(-1)].add(buf.reshape(-1, y.shape[-1]) * SM.reshape(-1, 1))
+        P = self.n_shards
+        for o, (SI, RI, SM) in zip(self._comm_offsets(), zip(*[iter(comm_args)] * 3)):
+            buf = y[RI]
+            buf = jax.lax.ppermute(buf, "shards", [(p, (p - o) % P) for p in range(P)])
+            y = y.at[SI].add(buf * SM[:, None])
+        return y
 
     # -- assembly ---------------------------------------------------------------
 
@@ -270,27 +309,134 @@ class DistributedSystem(_SystemBase):
 
     # -- traced per-shard element compute ---------------------------------------
 
-    def _bucket_apply(self, b: _ShardBucket, xg, dtype):
-        """Per-shard (inside shard_map): y contribution of one bucket."""
-        geom = element_geometry(b.tables, jnp.asarray(b.verts_dev, dtype), with_phys_ders=True)
-        fv = fd = None
-        if b.fields is not None:
-            fv, fd = eval_fields(b.tables, geom, jnp.asarray(b.fields_dev, dtype))
-        A, _ = eval_equation_kernel(b.kernel, geom, fv, fd, b.time, dtype)
+    def _dense_ok(self, b: _ShardBucket) -> bool:
+        """Mirror of the single-chip dense-MXU decision (``system.py``)."""
+        import os
+
+        from ..common.enums import LocalEvalStrategy
+
+        strat = b.options.eval_strategy
+        if b.tables.side is not None:
+            return False
+        if strat == LocalEvalStrategy.DENSE_MXU:
+            return True
+        if strat != LocalEvalStrategy.AUTO:
+            return False
+        if os.environ.get("L3STER_TPU_DENSE", "1") in ("0", "false"):
+            return False
+        return jax.default_backend() == "tpu" and b.tables.order >= 2
+
+    def _bucket_op_data(self, b: _ShardBucket):
+        """Precompute the x-independent packed operator tensors of one bucket,
+        stacked over shards -- full parity with the single-chip
+        ``MatrixFreeSystem._operator_data`` (geometry and kernel coefficients
+        are evaluated once per assembly, never inside the CG loop).
+
+        Returns (kind, static_A, arrays, sharded_flags): each array in
+        ``arrays`` is sharded over the leading axis iff its flag is True.
+        """
+        if getattr(b, "op_data", None) is not None:
+            return b.op_data
+        from ..algsys.system import _constant_kernel_operators
+
+        dtype = self.dtype
+        tab = b.tables
+        dim = tab.dim
+        P, E_max = b.verts.shape[:2]
+        Q = tab.n_qp
+        use_dense = self._dense_ok(b)
+        use_sf = (not use_dense) and self._sumfact_ok(b)
+        A_const = None
+        if (use_dense or use_sf) and b.fields is None:
+            A_const = _constant_kernel_operators(b.kernel, b.time)
+
+        verts = jnp.asarray(b.verts, dtype)
+        fields = jnp.asarray(b.fields, dtype) if b.fields is not None else None
+
+        @jax.jit
+        def compute(verts, fields):
+            geom = element_geometry(
+                tab,
+                verts.reshape((P * E_max,) + verts.shape[2:]),
+                with_phys_ders=not (use_dense or use_sf) or fields is not None,
+            )
+            fv = fd = None
+            if fields is not None:
+                fv, fd = eval_fields(
+                    tab, geom, fields.reshape((P * E_max,) + fields.shape[2:])
+                )
+            if not (use_dense or use_sf):
+                A, _ = eval_equation_kernel(b.kernel, geom, fv, fd, b.time, dtype)
+                B = _basis_stack(tab, geom, dtype)
+                return (
+                    A.reshape((P, E_max) + A.shape[1:]),
+                    B.reshape((P, E_max) + B.shape[1:]),
+                    geom.weights.reshape(P, E_max, Q),
+                )
+            Ji_t = jnp.moveaxis(geom.jac_inv.reshape(P, E_max * Q, dim, dim), 1, -1)
+            w_t = geom.weights.reshape(P, E_max * Q)
+            if A_const is not None:
+                return Ji_t, w_t
+            A, _ = eval_equation_kernel(b.kernel, geom, fv, fd, b.time, dtype)
+            A_t = jnp.moveaxis(A.reshape((P, E_max * Q) + A.shape[2:]), 1, -1)
+            return A_t, Ji_t, w_t
+
+        out = compute(verts, fields)
+        if use_dense:
+            from ..ops.dense_eval import dense_basis_matrix
+
+            Ball = jnp.asarray(dense_basis_matrix(tab), dtype)
+            if A_const is not None:
+                b.op_data = ("dense_const", A_const, (*out, Ball), (True, True, False))
+            else:
+                b.op_data = ("dense", None, (*out, Ball), (True, True, True, False))
+        elif use_sf:
+            if A_const is not None:
+                b.op_data = ("sumfact_const", A_const, out, (True, True))
+            else:
+                b.op_data = ("sumfact", None, out, (True, True, True))
+        else:
+            b.op_data = ("direct", None, out, (True, True, True))
+        return b.op_data
+
+    def _bucket_apply_packed(self, b: _ShardBucket, kind, static_A, arrs, lidx, xg, dtype):
+        """Per-shard (inside shard_map): y contribution of one bucket from its
+        precomputed packed tensors (no geometry or kernel re-evaluation)."""
+        from ..algsys.local import (
+            local_apply_dense_const,
+            local_apply_dense_packed,
+            local_apply_sumfact_const,
+            local_apply_sumfact_packed,
+        )
+
         n_nodes, n_unk = b.shape
-        idx = b.lidx_dev
-        E = idx.shape[0]
+        E = lidx.shape[0]
+        q_order = b.options.quadrature_order(b.tables.order)
+        dim = b.tables.dim
         y_parts = []
         for r in range(self.n_rhs):
-            x_loc = xg[idx.reshape(-1), r].reshape(E, n_nodes, n_unk)
-            if self._sumfact_ok(b):
-                q_order = b.options.quadrature_order(b.tables.order)
-                y_loc = local_apply_sumfact(A, geom, b.tables.order, q_order, b.tables.dim, x_loc)
+            x_loc = xg[lidx.reshape(-1), r].reshape(E, n_nodes, n_unk)
+            if kind == "dense_const":
+                Ji_t, w_t, Ball = arrs
+                y_loc = local_apply_dense_const(static_A, Ji_t, w_t, Ball, E, dim, x_loc)
+            elif kind == "dense":
+                A_t, Ji_t, w_t, Ball = arrs
+                y_loc = local_apply_dense_packed(A_t, Ji_t, w_t, Ball, E, dim, x_loc)
+            elif kind == "sumfact_const":
+                Ji_t, w_t = arrs
+                y_loc = local_apply_sumfact_const(
+                    static_A, Ji_t, w_t, E, b.tables.order, q_order, dim, x_loc
+                )
+            elif kind == "sumfact":
+                A_t, Ji_t, w_t = arrs
+                y_loc = local_apply_sumfact_packed(
+                    A_t, Ji_t, w_t, E, b.tables.order, q_order, dim, x_loc
+                )
             else:
-                B = _basis_stack(b.tables, geom, dtype)
-                y_loc = local_apply_direct(A, B, geom.weights, x_loc)
+                A, B, w = arrs
+                y_loc = local_apply_direct(A, B, w, x_loc)
             y_parts.append(y_loc.reshape(-1))
-        return idx, y_parts
+        return y_parts
 
     def _sumfact_ok(self, b: _ShardBucket) -> bool:
         from ..common.enums import LocalEvalStrategy
@@ -359,50 +505,72 @@ class DistributedSystem(_SystemBase):
             "buckets": op_buckets,
         }
 
-    def _shard_fn(self):
-        """Build the per-shard traced function over (x, *bucket arrays)."""
+    def _op_plumbing(self):
+        """Flattened packed-operator arrays + dispatch specs for the apply.
+
+        Returns (bucket_specs, arrays, sharded_flags): bucket_specs entries are
+        (bucket, kind, static_A, array offset, n op arrays); each bucket's
+        arrays are followed by its local-index array.
+        """
+        bucket_specs, arrays, flags = [], [], []
+        for b in self._contribs:
+            if b.mode == "rhs":
+                continue
+            kind, static_A, arrs, sh = self._bucket_op_data(b)
+            bucket_specs.append((b, kind, static_A, len(arrays), len(arrs)))
+            arrays.extend(arrs)
+            flags.extend(sh)
+            arrays.append(jnp.asarray(b.local_idx, jnp.int32))
+            flags.append(True)
+        return bucket_specs, arrays, flags
+
+    def _shard_fn(self, bucket_specs, op_flags, constrained: bool):
+        """Build the per-shard traced function."""
         dtype = self.dtype
-        buckets = list(self._contribs)
+        n_comm = 3 * self._n_neighbors
 
         if self._assembled_mode:
             L1 = self.n_loc1
 
-            def fn(x, SI, RI, SM, free_l, dir_l, owned_l, data, rows, cols):
-                x, SI, RI, SM = x[0], SI[0], RI[0], SM[0]
+            def fn(x, free_l, dir_l, owned_l, *rest):
+                x = x[0]
                 free_l, dir_l, owned_l = free_l[0], dir_l[0], owned_l[0]
-                data, rows, cols = data[0], rows[0], cols[0]
-                xm = x * free_l[:, None]
-                xg = self._import(xm, SI, RI)
+                comm_args = [a[0] for a in rest[:n_comm]]
+                data, rows, cols = (a[0] for a in rest[n_comm:])
+                xm = x * free_l[:, None] if constrained else x
+                xg = self._import(xm, comm_args)
                 y = jax.ops.segment_sum(
                     data[:, None] * xg[cols], rows, num_segments=L1, indices_are_sorted=True
                 )
-                y = self._export(y, SI, RI, SM)
+                y = self._export(y, comm_args)
                 y = y * owned_l[:, None]
-                return (y * free_l[:, None] + x * dir_l[:, None])[None]
+                if constrained:
+                    y = y * free_l[:, None] + x * dir_l[:, None]
+                return y[None]
 
             return fn
 
-        def fn(x, SI, RI, SM, free_l, dir_l, owned_l, *arrays):
-            # shard_map blocks keep a leading local axis of size 1: drop it
-            x, SI, RI, SM = x[0], SI[0], RI[0], SM[0]
+        def fn(x, free_l, dir_l, owned_l, *rest):
+            # shard_map blocks keep a leading local axis of size 1 on sharded
+            # args: drop it; replicated args pass through whole
+            x = x[0]
             free_l, dir_l, owned_l = free_l[0], dir_l[0], owned_l[0]
-            arrays = [a[0] for a in arrays]
-            it = iter(arrays)
-            xm = x * free_l[:, None]
-            xg = self._import(xm, SI, RI)
+            comm_args = [a[0] for a in rest[:n_comm]]
+            op_arrays = [a[0] if f else a for a, f in zip(rest[n_comm:], op_flags)]
+            xm = x * free_l[:, None] if constrained else x
+            xg = self._import(xm, comm_args)
             y = jnp.zeros_like(x)
-            for b in buckets:
-                b.verts_dev = next(it)
-                b.lidx_dev = next(it)
-                b.fields_dev = next(it) if b.fields is not None else None
-                if b.mode == "rhs":
-                    continue
-                idx, y_parts = self._bucket_apply(b, xg, dtype)
+            for b, kind, static_A, off, n_arr in bucket_specs:
+                arrs = tuple(op_arrays[off : off + n_arr])
+                lidx = op_arrays[off + n_arr]
+                y_parts = self._bucket_apply_packed(b, kind, static_A, arrs, lidx, xg, dtype)
                 for r, yp in enumerate(y_parts):
-                    y = y.at[idx.reshape(-1), r].add(yp)
-            y = self._export(y, SI, RI, SM)
+                    y = y.at[lidx.reshape(-1), r].add(yp)
+            y = self._export(y, comm_args)
             y = y * owned_l[:, None]
-            return (y * free_l[:, None] + x * dir_l[:, None])[None]
+            if constrained:
+                y = y * free_l[:, None] + x * dir_l[:, None]
+            return y[None]
 
         return fn
 
@@ -419,30 +587,39 @@ class DistributedSystem(_SystemBase):
         """The constrained distributed operator is built in operator()."""
         raise NotImplementedError("DistributedSystem uses operator() directly")
 
-    def operator_parts(self):
+    def _sharded_apply(self, constrained: bool):
         from jax.sharding import PartitionSpec as P
 
         mesh = self.device_mesh
-        fn = self._shard_fn()
         if self._assembled_mode:
             if self._data is None:
                 raise RuntimeError("assembled distributed operator available after end_assembly")
-            in_specs = (P("shards"),) * 10
+            fn = self._shard_fn(None, None, constrained)
+            n_args = 4 + 3 * self._n_neighbors + 3
+            in_specs = (P("shards"),) * n_args
             sharded = jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=P("shards"))
             consts = (
-                self._SI, self._RI, self._SM,
                 self._free_local, self._dir_local, self._owned_mask,
+                *self._comm_arrays(),
                 self._data, self._asm["rows"], self._asm["cols"],
             )
-            return (lambda x, *cs: sharded(x, *cs)), consts
-        n_b = sum(2 + (1 if b.fields is not None else 0) for b in self._contribs)
-        in_specs = (P("shards"),) * (7 + n_b)
+            return sharded, consts
+        bucket_specs, arrays, flags = self._op_plumbing()
+        fn = self._shard_fn(bucket_specs, flags, constrained)
+        in_specs = (
+            (P("shards"),) * (4 + 3 * self._n_neighbors)
+            + tuple(P("shards") if f else P() for f in flags)
+        )
         sharded = jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=P("shards"))
         consts = (
-            self._SI, self._RI, self._SM,
             self._free_local, self._dir_local, self._owned_mask,
-            *self._bucket_arrays(),
+            *self._comm_arrays(),
+            *arrays,
         )
+        return sharded, consts
+
+    def operator_parts(self):
+        sharded, consts = self._sharded_apply(constrained=True)
         return (lambda x, *cs: sharded(x, *cs)), consts
 
     def operator(self):
@@ -451,55 +628,8 @@ class DistributedSystem(_SystemBase):
 
     def _raw_apply_once(self, x):
         """Unconstrained apply (for effective rhs): same pipeline minus masking."""
-        from jax.sharding import PartitionSpec as P
-
-        dtype = self.dtype
-        buckets = list(self._contribs)
-
-        if self._assembled_mode:
-            L1 = self.n_loc1
-
-            def fn_asm(x, SI, RI, SM, owned_l, data, rows, cols):
-                x, SI, RI, SM, owned_l = x[0], SI[0], RI[0], SM[0], owned_l[0]
-                data, rows, cols = data[0], rows[0], cols[0]
-                xg = self._import(x, SI, RI)
-                y = jax.ops.segment_sum(
-                    data[:, None] * xg[cols], rows, num_segments=L1, indices_are_sorted=True
-                )
-                y = self._export(y, SI, RI, SM)
-                return (y * owned_l[:, None])[None]
-
-            sharded = jax.shard_map(
-                fn_asm, mesh=self.device_mesh, in_specs=(P("shards"),) * 8,
-                out_specs=P("shards"),
-            )
-            return sharded(
-                x, self._SI, self._RI, self._SM, self._owned_mask,
-                self._data, self._asm["rows"], self._asm["cols"],
-            )
-
-        def fn(x, SI, RI, SM, owned_l, *arrays):
-            x, SI, RI, SM, owned_l = x[0], SI[0], RI[0], SM[0], owned_l[0]
-            arrays = [a[0] for a in arrays]
-            it = iter(arrays)
-            xg = self._import(x, SI, RI)
-            y = jnp.zeros_like(x)
-            for b in buckets:
-                b.verts_dev = next(it)
-                b.lidx_dev = next(it)
-                b.fields_dev = next(it) if b.fields is not None else None
-                if b.mode == "rhs":
-                    continue
-                idx, y_parts = self._bucket_apply(b, xg, dtype)
-                for r, yp in enumerate(y_parts):
-                    y = y.at[idx.reshape(-1), r].add(yp)
-            y = self._export(y, SI, RI, SM)
-            return (y * owned_l[:, None])[None]
-
-        n_b = sum(2 + (1 if b.fields is not None else 0) for b in buckets)
-        in_specs = (P("shards"),) * (5 + n_b)
-        sharded = jax.shard_map(fn, mesh=self.device_mesh, in_specs=in_specs, out_specs=P("shards"))
-        return sharded(x, self._SI, self._RI, self._SM, self._owned_mask, *self._bucket_arrays())
+        sharded, consts = self._sharded_apply(constrained=False)
+        return sharded(x, *consts)
 
     def _end_impl(self) -> None:
         from jax.sharding import PartitionSpec as P
@@ -512,9 +642,12 @@ class DistributedSystem(_SystemBase):
         else:
             pos_map = {}
 
-        def fn(SI, RI, SM, owned_l, *arrays):
-            SI, RI, SM, owned_l = SI[0], RI[0], SM[0], owned_l[0]
-            arrays = [a[0] for a in arrays]
+        n_comm = 3 * self._n_neighbors
+
+        def fn(owned_l, *rest):
+            owned_l = owned_l[0]
+            comm_args = [a[0] for a in rest[:n_comm]]
+            arrays = [a[0] for a in rest[n_comm:]]
             n_pos = len(pos_map)
             pos_it = iter(arrays[len(arrays) - n_pos :]) if n_pos else iter(())
             arrays = arrays[: len(arrays) - n_pos] if n_pos else arrays
@@ -564,19 +697,19 @@ class DistributedSystem(_SystemBase):
                         K, _ = local_system(b.kernel, b.tables, geom, fv, fd, b.time, dtype)
                         pos = next(pos_it)
                         data = data.at[pos.reshape(-1)].add(K.reshape(-1))
-            rhs = self._export(rhs, SI, RI, SM) * owned_l[:, None]
-            diag = self._export(diag, SI, RI, SM) * owned_l[:, None]
+            rhs = self._export(rhs, comm_args) * owned_l[:, None]
+            diag = self._export(diag, comm_args) * owned_l[:, None]
             return rhs[None], diag[None], data[None]
 
         pos_arrays = list(self._asm["pos"]) if self._assembled_mode else []
         n_b = sum(2 + (1 if b.fields is not None else 0) for b in buckets) + len(pos_arrays)
-        in_specs = (P("shards"),) * (4 + n_b)
+        in_specs = (P("shards"),) * (1 + 3 * self._n_neighbors + n_b)
         sharded = jax.shard_map(
             fn, mesh=self.device_mesh, in_specs=in_specs,
             out_specs=(P("shards"), P("shards"), P("shards")),
         )
         rhs, diag, data = sharded(
-            self._SI, self._RI, self._SM, self._owned_mask, *self._bucket_arrays(), *pos_arrays
+            self._owned_mask, *self._comm_arrays(), *self._bucket_arrays(), *pos_arrays
         )
         if self._assembled_mode:
             self._data = data
@@ -649,7 +782,8 @@ class DistributedSystem(_SystemBase):
         return (
             f"DistributedSystem: {self.n_dofs} dofs over {self.n_shards} shards "
             f"(owned per shard: min {min(counts)}, max {max(counts)}), "
-            f"{len(self.dirichlet_dofs)} Dirichlet dofs, halo width {self._max_send}"
+            f"{len(self.dirichlet_dofs)} Dirichlet dofs, halo width {self._max_send}, "
+            f"{self._n_neighbors} neighbor offsets (ppermute)"
         )
 
 
@@ -663,14 +797,18 @@ def make_distributed_system(
     n_shards: int | None = None,
     devices=None,
     dtype=None,
+    part_fractions=None,
 ) -> DistributedSystem:
     """Factory for the sharded system (distributeMesh + makeAlgebraicSystem
     analog).  MATRIX_FREE keeps everything element-local; GLOBAL_ASSEMBLY
     builds per-shard local CSR partial matrices (the Tpetra FECrsMatrix
-    analog) sharing the same halo-exchange machinery.  Static condensation is
-    not yet supported distributed."""
+    analog) sharing the same halo-exchange machinery.  ``part_fractions``
+    sets heterogeneous shard weights (``comm/GatherNodeThroughputs.hpp``
+    analog).  Static condensation is not yet supported distributed."""
     from ..common.enums import CondensationPolicy
 
     if params.cond_policy != CondensationPolicy.NONE:
         raise NotImplementedError("distributed static condensation is not supported yet")
-    return DistributedSystem(mesh, problem, bc_def, params, n_shards, devices, dtype)
+    return DistributedSystem(
+        mesh, problem, bc_def, params, n_shards, devices, dtype, part_fractions
+    )

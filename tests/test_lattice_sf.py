@@ -1,0 +1,145 @@
+"""Global banded sum-factorization (ops/lattice_sumfact.py) vs oracles.
+
+LATTICE_SF must agree with the per-element sum-factorized apply to machine
+precision in f64 for constant and variable coefficients, 2D and 3D, and the
+lattice gather/scatter plans must agree with plain index gathers.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import l3ster_tpu as lt
+from l3ster_tpu.common.enums import LocalEvalStrategy
+
+
+def _diffusion_3d(inp, out):
+    ops, rhs = out
+    A0, Ax, Ay, Az = ops
+    Ax[0, 1] = -1.0
+    Ay[0, 2] = -1.0
+    Az[0, 3] = -1.0
+    A0[1, 1] = -1.0
+    Ax[1, 0] = 1.0
+    A0[2, 2] = -1.0
+    Ay[2, 0] = 1.0
+    A0[3, 3] = -1.0
+    Az[3, 0] = 1.0
+    Ay[4, 3] = 1.0
+    Az[4, 2] = -1.0
+    Ax[5, 3] = -1.0
+    Az[5, 1] = 1.0
+    Ax[6, 2] = 1.0
+    Ay[6, 1] = -1.0
+
+
+def _var_3d(inp, out):
+    ops, rhs = out
+    A0, Ax, Ay, Az = ops
+    k = 1.0 + inp.point.x * inp.point.y
+    Ax[0, 1] = -k
+    Ay[0, 2] = -k
+    Az[0, 3] = -k
+    A0[1, 1] = -1.0
+    Ax[1, 0] = 1.0
+    A0[2, 2] = -1.0
+    Ay[2, 0] = 1.0
+    A0[3, 3] = -1.0
+    Az[3, 0] = 1.0
+
+
+def _build_3d(strategy, kernel, n_eq, order=3, n1=4):
+    mesh = lt.generate_mesh(lt.make_cube_mesh(np.linspace(0, 1, n1)), order=order)
+    problem = lt.ProblemDefinition(4, [0])
+    params = lt.AlgebraicSystemParams(
+        eval_strategy=lt.OperatorEvaluationStrategy.MATRIX_FREE
+    )
+    system = lt.make_algebraic_system(mesh, problem, None, params)
+    kd = lt.wrap_domain_equation_kernel(
+        kernel, lt.KernelParams(dimension=3, n_equations=n_eq, n_unknowns=4)
+    )
+    system.begin_assembly()
+    system.assemble_problem(kd, [0], options=lt.AssemblyOptions(eval_strategy=strategy))
+    system.end_assembly()
+    return system
+
+
+@pytest.mark.parametrize("order", [2, 3, 6])
+def test_lattice_sf_matches_sumfact_3d(order):
+    s1 = _build_3d(LocalEvalStrategy.SUM_FACT, _diffusion_3d, 7, order)
+    s2 = _build_3d(LocalEvalStrategy.LATTICE_SF, _diffusion_3d, 7, order)
+    x = jnp.asarray(np.random.default_rng(order).normal(size=(s1.n_dofs, 1)))
+    y1, y2 = s1.operator()(x), s2.operator()(x)
+    assert float(jnp.abs(y1 - y2).max() / jnp.abs(y1).max()) < 1e-12
+
+
+def test_lattice_sf_variable_coefficients():
+    s1 = _build_3d(LocalEvalStrategy.SUM_FACT, _var_3d, 4)
+    s2 = _build_3d(LocalEvalStrategy.LATTICE_SF, _var_3d, 4)
+    x = jnp.asarray(np.random.default_rng(9).normal(size=(s1.n_dofs, 1)))
+    assert float(jnp.abs(s1.operator()(x) - s2.operator()(x)).max()) < 1e-10
+
+
+def test_lattice_sf_2d():
+    def d2(inp, out):
+        ops, rhs = out
+        A0, Ax, Ay = ops
+        Ax[0, 1] = -1.0
+        Ay[0, 2] = -1.0
+        A0[1, 1] = -1.0
+        Ax[1, 0] = 1.0
+        A0[2, 2] = -1.0
+        Ay[2, 0] = 1.0
+
+    def build(strategy):
+        mesh = lt.generate_mesh(
+            lt.make_square_mesh(np.linspace(0, 1, 5), np.linspace(0, 2, 4)), order=4
+        )
+        problem = lt.ProblemDefinition(3, [0])
+        params = lt.AlgebraicSystemParams(
+            eval_strategy=lt.OperatorEvaluationStrategy.MATRIX_FREE
+        )
+        system = lt.make_algebraic_system(mesh, problem, None, params)
+        kd = lt.wrap_domain_equation_kernel(
+            d2, lt.KernelParams(dimension=2, n_equations=3, n_unknowns=3)
+        )
+        system.begin_assembly()
+        system.assemble_problem(
+            kd, [0], options=lt.AssemblyOptions(eval_strategy=strategy)
+        )
+        system.end_assembly()
+        return system
+
+    s1, s2 = build(LocalEvalStrategy.SUM_FACT), build(LocalEvalStrategy.LATTICE_SF)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(s1.n_dofs, 1)))
+    assert float(jnp.abs(s1.operator()(x) - s2.operator()(x)).max()) < 1e-11
+
+
+def test_lattice_sf_rejects_unstructured():
+    """Explicit LATTICE_SF on a non-lattice mesh must raise, not mis-compute."""
+    mesh = lt.generate_mesh(
+        lt.make_cylinder_in_channel_2d(n_circumf=8, n_radial=3, n_left=2,
+                                       n_right=2, n_bottom=2, n_top=2),
+        order=2,
+    )
+    problem = lt.ProblemDefinition(3, [0])
+    params = lt.AlgebraicSystemParams(
+        eval_strategy=lt.OperatorEvaluationStrategy.MATRIX_FREE
+    )
+    system = lt.make_algebraic_system(mesh, problem, None, params)
+
+    def d2(inp, out):
+        ops, rhs = out
+        ops[0][0, 0] = 1.0
+
+    kd = lt.wrap_domain_equation_kernel(
+        d2, lt.KernelParams(dimension=2, n_equations=1, n_unknowns=1)
+    )
+    system.begin_assembly()
+    with pytest.raises(ValueError):
+        system.assemble_problem(
+            kd, [0], dof_inds=[0],
+            options=lt.AssemblyOptions(eval_strategy=LocalEvalStrategy.LATTICE_SF),
+        )
+        system.end_assembly()
+        system.operator()(jnp.zeros((system.n_dofs, 1)))
