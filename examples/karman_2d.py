@@ -123,7 +123,128 @@ def main(n_steps=20, coarse=True, mesh_order=2, verbose=True):
     return inflow, outflow
 
 
+def strouhal_study(
+    n_steps=250,
+    dt=0.15,
+    mesh_order=3,
+    verbose=True,
+    export_every=0,
+    solver=None,
+):
+    """Vortex-shedding validation on the DFG-2D-2-like confined cylinder.
+
+    Re = 100, channel walls at y = -2.0 / +2.1 (the slight asymmetry of the
+    DFG benchmark triggers shedding without artificial forcing).  Returns
+    (strouhal, imbalance_pct, v_signal): the Strouhal number from the FFT
+    peak of the cross-flow velocity behind the cylinder (expected ~0.3 for
+    this blockage, cf. ``examples/07-karman-2D`` and the DFG reference data),
+    the final inlet/outlet flow-rate imbalance in percent, and the probe
+    signal.
+    """
+    Re = 100.0
+    nu = 1.0 / Re  # D = 1, U_mean = 1
+    y_b, y_t = -2.0, 2.1
+
+    mesh = lt.make_cylinder_in_channel_2d(
+        r_outer=1.2,
+        left_offset=2.0, right_offset=10.0, bottom_offset=-y_b, top_offset=y_t,
+        n_circumf=32, n_radial=6, n_left=3, n_right=14, n_bottom=3, n_top=3,
+        q_radial=1.3, q_right=1.08,
+    )
+    mesh = lt.generate_mesh(mesh, order=mesh_order)
+
+    problem = lt.ProblemDefinition(4, [DOMAIN])
+    bcs = lt.BCDefinition(problem)
+    bcs.define_dirichlet([INLET, BOTTOM, TOP, CYLINDER], [IU, IV])
+    system = lt.make_algebraic_system(mesh, problem, bcs)
+    if verbose:
+        print(mesh.describe())
+        print(system.describe())
+
+    k_steady = navier_stokes_uvop_2d(nu)
+    k_trans = navier_stokes_uvop_2d(nu, dt=dt)
+    k_outlet = navier_stokes_outlet_bc(nu)
+    k_flow = flow_rate_bc()
+    asm_opts = lt.AssemblyOptions(value_order=1, derivative_order=1)
+
+    def inlet_profile(inp, out):
+        y = inp.point.y
+        # parabola vanishing at both walls, mean velocity 1 over the channel
+        h = y_t - y_b
+        out[0] = 6.0 * (y - y_b) * (y_t - y) / h**2
+        out[1] = 0.0
+
+    k_inlet = lt.wrap_boundary_residual_kernel(
+        inlet_profile, lt.KernelParams(dimension=2, n_equations=2)
+    )
+    system.set_dirichlet_bc_values([0.0, 0.0], [BOTTOM, TOP, CYLINDER], [IU, IV])
+    system.set_dirichlet_bc_values(k_inlet, [INLET], [IU, IV])
+
+    manager = lt.SolutionManager(mesh, 6)
+    vel1, vel2, vort, pres = [0, 1], [2, 3], [4], [5]
+    solver = solver or lt.Klu2()
+    outlet_dofs = (IU, IV, IP)
+
+    # probe node in the near wake (cross-flow velocity carries the shedding)
+    probe_xy = np.array([2.0, 0.0])
+    probe = int(np.argmin(np.linalg.norm(mesh.node_coords[:, :2] - probe_xy, axis=1)))
+
+    for _ in range(8):  # steady Picard initial condition
+        system.begin_assembly()
+        system.assemble_problem(k_steady, [DOMAIN], manager.field_access(vel1), options=asm_opts)
+        system.assemble_problem(k_outlet, [OUTLET], dof_inds=outlet_dofs)
+        system.end_assembly()
+        system.solve(solver)
+        system.update_solution([IU, IV], manager, vel1)
+    system.update_solution([IU, IV, IO, IP], manager, vel2 + vort + pres)
+
+    exporter = lt.PvtuExporter(mesh)
+    v_sig = np.zeros(n_steps)
+    for step in range(1, n_steps + 1):
+        system.begin_assembly()
+        system.assemble_problem(
+            k_trans, [DOMAIN], manager.field_access(vel1 + vel2), options=asm_opts
+        )
+        system.assemble_problem(k_outlet, [OUTLET], dof_inds=outlet_dofs)
+        system.end_assembly()
+        system.solve(solver)
+        system.update_solution([IU, IV, IO, IP], manager, vel2 + vort + pres)
+        vel1, vel2 = vel2, vel1
+        v_sig[step - 1] = float(np.asarray(manager.values)[probe, vel1[1]])
+        if verbose and step % 25 == 0:
+            print(f"step {step:>4}  t={step * dt:7.2f}  v_probe={v_sig[step - 1]:+.4f}")
+        if export_every and step % export_every == 0:
+            ex = lt.ExportDefinition(f"/tmp/karman_strouhal_{step:05d}.pvtu")
+            ex.define_field("Velocity", vel1)
+            ex.define_field("Vorticity", vort)
+            ex.define_field("Pressure", pres)
+            exporter.export_solution(ex, manager)
+
+    inflow = -float(lt.compute_integral(k_flow, mesh, [INLET], manager.field_access(vel1))[0, 0])
+    outflow = float(lt.compute_integral(k_flow, mesh, [OUTLET], manager.field_access(vel1))[0, 0])
+    imbalance = abs(inflow - outflow) / inflow * 100.0
+
+    # Strouhal from the FFT peak over the saturated second half of the signal
+    tail = v_sig[n_steps // 2 :]
+    tail = tail - tail.mean()
+    spec = np.abs(np.fft.rfft(tail * np.hanning(len(tail))))
+    freqs = np.fft.rfftfreq(len(tail), d=dt)
+    spec[0] = 0.0
+    st = float(freqs[int(np.argmax(spec))])  # D = 1, U_mean = 1 -> St = f
+    if verbose:
+        print(f"Strouhal {st:.4f}  |  flow imbalance {imbalance:.3f}%  |  "
+              f"peak-to-peak v {tail.min():+.3f}..{tail.max():+.3f}")
+    return st, imbalance, v_sig
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "strouhal":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 250
+        st, imb, _ = strouhal_study(n_steps=n, export_every=int(sys.argv[3]) if len(sys.argv) > 3 else 0)
+        assert 0.25 < st < 0.35, f"Strouhal {st} outside the confined-cylinder band"
+        assert imb < 1.0, f"mass imbalance {imb}%"
+        print("OK")
+        sys.exit(0)
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     coarse = (sys.argv[2] != "fine") if len(sys.argv) > 2 else True
     inflow, outflow = main(n_steps, coarse)

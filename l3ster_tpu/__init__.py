@@ -48,7 +48,15 @@ from .post.vtk import ExportDefinition, PvtuExporter
 from .solve.direct import Klu2, Lapack
 from .solve.interface import IterSolveResult, IterSolverOpts
 from .solve.krylov import CG, Gmres
-from .solve.precond import Chebyshev, Identity, Jacobi, Richardson
+from .solve.precond import (
+    SGS,
+    BlockJacobi,
+    Chebyshev,
+    Identity,
+    ILU0,
+    Jacobi,
+    Richardson,
+)
 
 __version__ = "0.1.0"
 

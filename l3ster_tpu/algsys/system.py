@@ -81,7 +81,9 @@ class _SystemBase:
         self.params = params
         self.dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
 
-        periodic_pairs = match_periodic_nodes(mesh, bc_def)
+        periodic_pairs, periodic_masks = match_periodic_nodes(
+            mesh, bc_def, max_dofs=problem.max_dofs_per_node
+        )
         condensed = None
         if params.cond_policy == CondensationPolicy.ELEMENT_BOUNDARY:
             from ..mesh.traits import internal_node_indices
@@ -93,7 +95,13 @@ class _SystemBase:
                     if len(inn):
                         parts.append(blk.nodes[:, inn].reshape(-1))
             condensed = np.unique(np.concatenate(parts)) if parts else None
-        self.dofmap = build_dof_map(mesh, problem, periodic_pairs, condensed_nodes=condensed)
+        self.dofmap = build_dof_map(
+            mesh,
+            problem,
+            periodic_pairs,
+            condensed_nodes=condensed,
+            periodic_dof_masks=periodic_masks,
+        )
         self.n_dofs = self.dofmap.n_dofs
         self.n_rhs = params.n_rhs
 
@@ -248,12 +256,26 @@ class _SystemBase:
             dof_inds = tuple(dof_inds) if dof_inds is not None else tuple(range(len(consts)))
             if len(consts) != len(dof_inds):
                 raise ValueError("need one constant per dof index")
+            if not len(self.dirichlet_dofs):
+                raise ValueError(
+                    "set_dirichlet_bc_values: the system has no Dirichlet dofs "
+                    "(declare them via BCDefinition.define_dirichlet)"
+                )
             nodes = self.mesh.boundary_nodes_of(boundaries)
             for val, di in zip(consts, dof_inds):
                 dofs = self.dofmap.node_dof[nodes, di]
                 dofs = dofs[dofs >= 0]
                 pos = np.searchsorted(self.dirichlet_dofs, dofs)
-                ok = (pos < len(self.dirichlet_dofs)) & (self.dirichlet_dofs[np.minimum(pos, len(self.dirichlet_dofs) - 1)] == dofs)
+                posc = np.minimum(pos, len(self.dirichlet_dofs) - 1)
+                ok = (pos < len(self.dirichlet_dofs)) & (self.dirichlet_dofs[posc] == dofs)
+                if not ok.all():
+                    # the reference asserts every requested (node, dof) pair is
+                    # Dirichlet (``AssembledSystem.hpp:158-286``); silently
+                    # skipping would hide boundary/dof typos
+                    raise ValueError(
+                        f"set_dirichlet_bc_values: dof {di} on boundaries "
+                        f"{list(boundaries)} includes non-Dirichlet dofs"
+                    )
                 self.dirichlet_values = self.dirichlet_values.at[jnp.asarray(pos[ok])].set(val)
             self._effective_rhs = None
             return
@@ -491,6 +513,82 @@ class _CondensationAgg:
     Z: jnp.ndarray | None = None  # Kii^-1 Fi
 
 
+def _cond_selectors(act, b_nodes, i_nodes, n_nodes, dof_inds):
+    """Split a contribution's local (node-major) dof layout into boundary and
+    interior selections plus their target positions in the block aggregate's
+    boundary/interior spaces (``StaticCondensationManager.hpp`` index maps).
+
+    Returns (b_sel, tb, i_sel, ti): ``K[:, b_sel][:, :, i_sel]`` scatters to
+    aggregate coordinates ``(tb, ti)``.
+    """
+    n_unk = len(dof_inds)
+    n_act = len(act)
+    apos = np.searchsorted(act, np.asarray(dof_inds))
+    if not np.array_equal(act[apos], np.asarray(dof_inds)):
+        raise ValueError("kernel dof indices not active on the condensed block's domain")
+    i_rank = {int(n): r for r, n in enumerate(i_nodes)}
+    b_rank = {int(n): r for r, n in enumerate(b_nodes)}
+    b_sel, tb, i_sel, ti = [], [], [], []
+    for n in range(n_nodes):
+        for u in range(n_unk):
+            j = n * n_unk + u
+            if n in i_rank:
+                i_sel.append(j)
+                ti.append(i_rank[n] * n_act + apos[u])
+            else:
+                b_sel.append(j)
+                tb.append(b_rank[n] * n_act + apos[u])
+    return (
+        np.asarray(b_sel, dtype=np.int64),
+        np.asarray(tb, dtype=np.int64),
+        np.asarray(i_sel, dtype=np.int64),
+        np.asarray(ti, dtype=np.int64),
+    )
+
+
+def _schur_factors(Kii, Kib, Fi, dtype):
+    """Batched Schur factor solves: Y = Kii^-1 Kib, Z = Kii^-1 Fi (traceable).
+
+    LSFEM interior blocks are SPD (weighted A^T A), so the solves go through
+    batched Cholesky — TPU-safe (no LU, consistent with the small_inv/small_det
+    convention for the geometry path).  Elements whose interior was never
+    assembled (all diagonal rows zero: untouched by any domain kernel) are
+    substituted by identity and their Y/Z zeroed, so they contribute nothing.
+    Returns (Y, Z, n_partial): n_partial counts elements with a PARTIALLY
+    assembled interior (some diagonal rows zero — singular, e.g. kernel
+    dof_inds a strict subset of the domain's active dofs); callers must check
+    it is zero and raise.
+    """
+    import jax.scipy.linalg as jsl
+
+    dvec = jnp.abs(jnp.diagonal(Kii, axis1=1, axis2=2))
+    row_ok = dvec > 0
+    all_zero = ~row_ok.any(axis=1)
+    partial = (~all_zero) & (~row_ok.all(axis=1))
+    ni = Kii.shape[1]
+    eye = jnp.eye(ni, dtype=dtype)
+    sub = all_zero | partial
+    Kii_s = jnp.where(sub[:, None, None], eye[None], Kii)
+    L = jnp.linalg.cholesky(Kii_s)
+    ok = (~sub)[:, None, None].astype(dtype)
+    Y = jsl.cho_solve((L, True), Kib) * ok
+    Z = jsl.cho_solve((L, True), Fi) * ok
+    return Y, Z, partial.sum()
+
+
+def _schur_solve(Kii, Kib, Fi, dtype):
+    """Eager wrapper of :func:`_schur_factors` that rejects partially
+    assembled interiors (``StaticCondensationManager.hpp:152-207`` asserts the
+    condensed space is fully covered)."""
+    Y, Z, n_partial = _schur_factors(Kii, Kib, Fi, dtype)
+    if int(n_partial) > 0:
+        raise RuntimeError(
+            "static condensation: element interiors only partially assembled "
+            "(kernel dof_inds must cover all active dofs of the condensed domain)"
+        )
+    return Y, Z
+
+
 class AssembledSystem(_SystemBase):
     """Explicit CSR system (``algsys/AssembledSystem.hpp``)."""
 
@@ -498,7 +596,9 @@ class AssembledSystem(_SystemBase):
         super().__init__(mesh, problem, bc_def, params, dtype)
         self._build_sparsity()
         self.data = jnp.zeros(self.nnz, self.dtype)
-        self._pos_cache: dict = {}
+        from collections import OrderedDict
+
+        self._pos_cache: "OrderedDict[bytes, np.ndarray]" = OrderedDict()
         self._cond_aggs: dict[int, _CondensationAgg] = {}
 
     # -- sparsity (``algsys/SparsityGraph.hpp`` analog, host-side) ------------
@@ -531,6 +631,7 @@ class AssembledSystem(_SystemBase):
         key = elem_dofs.tobytes()
         hit = self._pos_cache.get(key)
         if hit is not None:
+            self._pos_cache.move_to_end(key)  # LRU refresh
             return hit
         E = elem_dofs.shape[0]
         flat = elem_dofs.reshape(E, -1)
@@ -539,6 +640,11 @@ class AssembledSystem(_SystemBase):
         pos = np.searchsorted(self._keys, k.reshape(-1)).reshape(E, L, L)
         if not np.array_equal(self._keys[pos.reshape(-1)], k.reshape(-1)):
             raise RuntimeError("element couples dofs outside the sparsity pattern")
+        # bounded LRU: transient runs re-assemble every step with identical
+        # dof layouts, but field-dependent re-bucketing must not accumulate
+        # dead (E, L, L) position arrays forever
+        while len(self._pos_cache) >= 16:
+            self._pos_cache.popitem(last=False)
         self._pos_cache[key] = pos
         return pos
 
@@ -551,14 +657,7 @@ class AssembledSystem(_SystemBase):
         # system (``StaticCondensationManager::endAssembly`` analog)
         for agg in self._cond_aggs.values():
             Kib = jnp.swapaxes(agg.Kbi, 1, 2)
-            # guard empty interior rows (elements never touched by a domain
-            # kernel): substitute identity so the solve stays finite
-            diag_ok = jnp.abs(jnp.diagonal(agg.Kii, axis1=1, axis2=2)).max(axis=1) > 0
-            ni = agg.Kii.shape[1]
-            eye = jnp.eye(ni, dtype=self.dtype)
-            Kii = jnp.where(diag_ok[:, None, None], agg.Kii, eye[None])
-            Y = jnp.linalg.solve(Kii, Kib)  # (E, ni, nb)
-            Z = jnp.linalg.solve(Kii, agg.Fi)  # (E, ni, n_rhs)
+            Y, Z = _schur_solve(agg.Kii, Kib, agg.Fi, self.dtype)
             schur = -jnp.einsum("ebi,eij->ebj", agg.Kbi, Y)
             pos = self._scatter_positions(agg.b_dofs)
             self.data = self.data.at[jnp.asarray(pos.reshape(-1))].add(schur.reshape(-1))
@@ -597,26 +696,10 @@ class AssembledSystem(_SystemBase):
         agg = self._get_cond_agg(c)
         geom, fv, fd = _contribution_geometry(c, self.dtype)
         K, F = local_system(c.kernel, c.tables, geom, fv, fd, c.time, self.dtype)
-        n_unk = len(c.dof_inds)
-        n_act = len(agg.act)
-        apos = np.searchsorted(agg.act, np.asarray(c.dof_inds))
-        if not np.array_equal(agg.act[apos], np.asarray(c.dof_inds)):
-            raise ValueError("kernel dof indices not active on the condensed block's domain")
         n_nodes = c.block.nodes.shape[1]
-        i_rank = {int(n): r for r, n in enumerate(agg.i_nodes)}
-        b_rank = {int(n): r for r, n in enumerate(agg.b_nodes)}
-        b_sel, tb, i_sel, ti = [], [], [], []
-        for n in range(n_nodes):
-            for u in range(n_unk):
-                j = n * n_unk + u
-                if n in i_rank:
-                    i_sel.append(j)
-                    ti.append(i_rank[n] * n_act + apos[u])
-                else:
-                    b_sel.append(j)
-                    tb.append(b_rank[n] * n_act + apos[u])
-        b_sel, tb = np.asarray(b_sel), np.asarray(tb, dtype=np.int64)
-        i_sel, ti = np.asarray(i_sel), np.asarray(ti, dtype=np.int64)
+        b_sel, tb, i_sel, ti = _cond_selectors(
+            agg.act, agg.b_nodes, agg.i_nodes, n_nodes, c.dof_inds
+        )
         E_c = K.shape[0]
         rows = c.elem_sel if c.elem_sel is not None else np.arange(E_c)
         rows = np.asarray(rows, dtype=np.int64)

@@ -16,12 +16,23 @@ from ..mesh.core import Mesh
 __all__ = ["match_periodic_nodes"]
 
 
-def match_periodic_nodes(mesh: Mesh, bc_def: BCDefinition | None) -> np.ndarray:
-    """Return (n_pairs, 2) array of (src_node, dest_node) identifications."""
+def match_periodic_nodes(
+    mesh: Mesh, bc_def: BCDefinition | None, max_dofs: int | None = None
+) -> np.ndarray | tuple[np.ndarray, np.ndarray]:
+    """Return (n_pairs, 2) array of (src_node, dest_node) identifications.
+
+    When ``max_dofs`` is given, also return a (n_pairs, max_dofs) bool mask of
+    which components each pair aliases (the BC's ``dof_inds``,
+    bcs/BCDefinition.hpp:95-103).
+    """
     if bc_def is None or not bc_def.periodic:
-        return np.empty((0, 2), dtype=np.int64)
+        empty = np.empty((0, 2), dtype=np.int64)
+        if max_dofs is not None:
+            return empty, np.empty((0, max_dofs), dtype=bool)
+        return empty
     tol = bc_def.periodic_match_tolerance
     pairs = []
+    pair_dof_inds = []
     for p in bc_def.periodic:
         src = mesh.boundary_nodes_of(p.src_boundaries)
         dest = mesh.boundary_nodes_of(p.dest_boundaries)
@@ -51,7 +62,14 @@ def match_periodic_nodes(mesh: Mesh, bc_def: BCDefinition | None) -> np.ndarray:
                     f"+ translation (closest miss {best_d:.3e} > tol {tol:.3e})"
                 )
             pairs.append((src[si], dest[best]))
-    return np.asarray(pairs, dtype=np.int64)
+            pair_dof_inds.append(p.dof_inds)
+    out = np.asarray(pairs, dtype=np.int64)
+    if max_dofs is not None:
+        masks = np.zeros((len(pairs), max_dofs), dtype=bool)
+        for i, inds in enumerate(pair_dof_inds):
+            masks[i, list(inds)] = True
+        return out, masks
+    return out
 
 
 def _neighbor_keys(k: tuple):

@@ -32,6 +32,13 @@ class AssemblyOptions:
     ``value_order`` / ``derivative_order`` feed the quadrature-order rule
     QO = 2 * (vo * p + do * (p - 1)); ``eval_strategy`` picks the local
     matrix-free evaluation scheme.
+
+    DELIBERATE DIVERGENCE: the reference defaults ``derivative_order = 0``
+    (quadrature order 2p); this framework defaults ``1`` (order 4p-2), an
+    accuracy-conservative choice that integrates the derivative products of
+    the LSFEM normal equations exactly.  Benchmarks and parity comparisons
+    pass ``AssemblyOptions(value_order=1, derivative_order=0)`` to match the
+    reference's quadrature cost (see PARITY.md).
     """
 
     value_order: int = 1

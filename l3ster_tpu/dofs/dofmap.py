@@ -29,8 +29,10 @@ class DofMap:
     node_dof: np.ndarray  # (n_nodes, max_dofs) int64
     n_dofs: int
     max_dofs_per_node: int
-    # node -> representative node (identity unless periodic aliasing)
-    representative: np.ndarray  # (n_nodes,) int64
+    # flat (node*max_dofs + k) -> representative flat index (identity unless
+    # that component is periodically aliased); per-component because the
+    # reference aliases only the BC's ``dof_inds`` (bcs/BCDefinition.hpp:95-103)
+    representative: np.ndarray  # (n_nodes * max_dofs,) int64
 
     def element_dofs(self, nodes: np.ndarray, dof_inds) -> np.ndarray:
         """Gather (n_elem, n_nodes, len(dof_inds)) global dofs for element nodes."""
@@ -64,14 +66,19 @@ def build_dof_map(
     problem: ProblemDefinition,
     periodic_pairs: np.ndarray | None = None,
     condensed_nodes: np.ndarray | None = None,
+    periodic_dof_masks: np.ndarray | None = None,
 ) -> DofMap:
     """Number the active DOFs node-major.
 
     periodic_pairs: (n_pairs, 2) node-id identifications (src, dest).
+    periodic_dof_masks: (n_pairs, max_dofs) bool — which components of each
+    pair are aliased (the BC's ``dof_inds``, bcs/BCDefinition.hpp:95-103).
+    None aliases every component.
     condensed_nodes: node ids excluded from the global numbering
     (ELEMENT_BOUNDARY static condensation).
     """
     max_dofs = problem.max_dofs_per_node
+    n_flat = mesh.n_nodes * max_dofs
     active = np.zeros((mesh.n_nodes, max_dofs), dtype=bool)
     for domain_ids, mask in problem.entries:
         nodes = mesh.nodes_of(domain_ids)
@@ -79,15 +86,27 @@ def build_dof_map(
             active[np.ix_(nodes, np.nonzero(mask)[0])] = True
 
     if periodic_pairs is not None and len(periodic_pairs):
-        rep = _resolve_representatives(mesh.n_nodes, np.asarray(periodic_pairs))
-        # union activity onto representatives
-        for k in range(max_dofs):
-            np.logical_or.at(active[:, k], rep, active[:, k])
+        pp = np.asarray(periodic_pairs, dtype=np.int64)
+        if periodic_dof_masks is None:
+            masks = np.ones((len(pp), max_dofs), dtype=bool)
+        else:
+            masks = np.asarray(periodic_dof_masks, dtype=bool)
+            if masks.shape != (len(pp), max_dofs):
+                raise ValueError("periodic_dof_masks must be (n_pairs, max_dofs)")
+        comp = np.arange(max_dofs, dtype=np.int64)[None, :]
+        src_flat = (pp[:, 0, None] * max_dofs + comp)[masks]
+        dst_flat = (pp[:, 1, None] * max_dofs + comp)[masks]
+        rep = _resolve_representatives(n_flat, np.stack([src_flat, dst_flat], axis=1))
+        # union activity onto representatives (per component)
+        af = active.reshape(-1)
+        np.logical_or.at(af, rep, af)
     else:
-        rep = np.arange(mesh.n_nodes, dtype=np.int64)
+        rep = np.arange(n_flat, dtype=np.int64)
 
-    numbered = active.copy()
-    numbered[rep != np.arange(mesh.n_nodes)] = False  # aliases take the rep's dofs
+    ident = np.arange(n_flat, dtype=np.int64)
+    numbered_flat = active.reshape(-1).copy()
+    numbered_flat[rep != ident] = False  # aliases take the rep's dofs
+    numbered = numbered_flat.reshape(mesh.n_nodes, max_dofs)
     if condensed_nodes is not None and len(condensed_nodes):
         numbered[np.asarray(condensed_nodes, dtype=np.int64)] = False
 
@@ -97,12 +116,13 @@ def build_dof_map(
     node_dof.reshape(-1)[flat] = ids[flat]
     n_dofs = int(flat.sum())
 
-    aliased = np.nonzero(rep != np.arange(mesh.n_nodes))[0]
+    aliased = np.nonzero(rep != ident)[0]
     if len(aliased):
-        node_dof[aliased] = node_dof[rep[aliased]]
+        nd_flat = node_dof.reshape(-1)
+        nd_flat[aliased] = nd_flat[rep[aliased]]
         # an alias may activate a component its representative doesn't have
         # numbered; LSFEM requires matching activity, enforce it:
-        bad = active[aliased] & (node_dof[aliased] < 0)
+        bad = active.reshape(-1)[aliased] & (nd_flat[aliased] < 0)
         if bad.any():
             raise ValueError("periodic image node has active dofs its source lacks")
 

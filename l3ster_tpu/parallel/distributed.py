@@ -55,6 +55,11 @@ class _ShardBucket:
     shape: tuple  # (n_nodes, n_unk)
     fields: np.ndarray | None  # (P, E_max, n_nodes, n_fields) nodal field values
     mode: str = "both"
+    # ELEMENT_BOUNDARY condensation metadata (None when not condensed):
+    # dict(block_id, b_sel, i_sel, tb, ti, rows) — ``rows`` is the (P, E_max)
+    # map from this bucket's shard-local element slot to the block aggregate
+    # row (padding row = aggregate E_max, a discard slot)
+    cond: dict | None = None
 
 
 class DistributedSystem(_SystemBase):
@@ -85,6 +90,8 @@ class DistributedSystem(_SystemBase):
         self._diag = None
         self._data = None
         self._asm = None
+        self._cond_blocks: dict[int, dict] = {}
+        self._cond_YZ: dict[int, tuple] = {}
         # re-shape solver-facing state to the stacked layout
         P, L = self.n_shards, self.n_loc1
         self.rhs = jnp.zeros((P, L, self.n_rhs), self.dtype)
@@ -251,7 +258,27 @@ class DistributedSystem(_SystemBase):
         self._diag = None
         self._data = None
         self._asm = None
+        self._cond_blocks = {}
+        self._cond_YZ = {}
         self.rhs = jnp.zeros((self.n_shards, self.n_loc1, self.n_rhs), self.dtype)
+
+    def _g2l_map(self, p: int, gd: np.ndarray) -> np.ndarray:
+        """Vectorized global->local dof slots for shard p ([owned | ghost] are
+        sorted segments); -1 (condensed-out) dofs map to the dump slot."""
+        own, gh = self._owned[p], self._ghost[p]
+        neg = gd < 0
+        g = np.where(neg, 0, gd)
+        pos_o = np.searchsorted(own, g)
+        pos_o_c = np.minimum(pos_o, max(len(own) - 1, 0))
+        is_o = (pos_o < len(own)) & (own[pos_o_c] == g) if len(own) else np.zeros_like(g, bool)
+        pos_g = np.searchsorted(gh, g)
+        pos_g_c = np.minimum(pos_g, max(len(gh) - 1, 0))
+        is_g = (pos_g < len(gh)) & (gh[pos_g_c] == g) if len(gh) else np.zeros_like(g, bool)
+        if not (is_o | is_g | neg).all():
+            raise RuntimeError("element dof not present in its shard's local dof set")
+        out = np.where(is_o, pos_o_c, len(own) + pos_g_c)
+        out[neg] = self._dump
+        return out
 
     def _bucket_parts(self, c: _Contribution, nodes: np.ndarray, part: np.ndarray) -> _ShardBucket:
         P = self.n_shards
@@ -271,17 +298,7 @@ class DistributedSystem(_SystemBase):
                 continue
             verts[p, : len(sel)] = c.verts[sel]
             gd = c.elem_dofs[sel].reshape(len(sel), -1)
-            # vectorized global->local: [owned | ghost] are sorted segments
-            own, gh = self._owned[p], self._ghost[p]
-            pos_o = np.searchsorted(own, gd)
-            pos_o_c = np.minimum(pos_o, max(len(own) - 1, 0))
-            is_o = (pos_o < len(own)) & (own[pos_o_c] == gd) if len(own) else np.zeros_like(gd, bool)
-            pos_g = np.searchsorted(gh, gd)
-            pos_g_c = np.minimum(pos_g, max(len(gh) - 1, 0))
-            is_g = (pos_g < len(gh)) & (gh[pos_g_c] == gd) if len(gh) else np.zeros_like(gd, bool)
-            if not (is_o | is_g).all():
-                raise RuntimeError("element dof not present in its shard's local dof set")
-            lidx[p, : len(sel)] = np.where(is_o, pos_o_c, len(own) + pos_g_c)
+            lidx[p, : len(sel)] = self._g2l_map(p, gd)
             if fields is not None:
                 slots = np.asarray(fa.slots, dtype=np.int64)
                 fields[p, : len(sel)] = fvals[nodes[sel]][:, :, slots]
@@ -295,7 +312,83 @@ class DistributedSystem(_SystemBase):
             shape=(n_nodes, n_unk),
             fields=fields,
             mode=c.mode,
+            cond=self._cond_info(c, part),
         )
+
+    def _cond_info(self, c: _Contribution, part: np.ndarray) -> dict | None:
+        """Condensation metadata for one contribution (distributed analog of
+        ``AssembledSystem._add_condensed`` index maps;
+        ``StaticCondensationManager.hpp:152-207``).  Elements are uniquely
+        owned by a shard, so each shard's per-element Schur data is complete."""
+        from ..common.enums import CondensationPolicy
+        from ..mesh.traits import internal_node_indices
+
+        blk = c.block
+        if not (
+            self.params.cond_policy == CondensationPolicy.ELEMENT_BOUNDARY
+            and blk.dim == self.mesh.dim
+            and len(internal_node_indices(blk.element_type, blk.order))
+        ):
+            return None
+        from ..algsys.system import _cond_selectors
+
+        entry = self._get_cond_block(c)
+        b_sel, tb, i_sel, ti = _cond_selectors(
+            entry["act"], entry["b_nodes"], entry["i_nodes"], blk.nodes.shape[1], c.dof_inds
+        )
+        # per-shard map: bucket element slot -> block aggregate row
+        P = self.n_shards
+        E_max_c = max(1, int(np.bincount(part, minlength=P).max()))
+        rows = np.full((P, E_max_c), entry["E_max"], dtype=np.int64)  # pad -> discard row
+        for p in range(P):
+            sel = np.nonzero(part == p)[0]
+            if not len(sel):
+                continue
+            if c.elem_sel is None:
+                rows[p, : len(sel)] = np.arange(len(sel))
+            else:
+                rank = {int(g): i for i, g in enumerate(entry["order"][p])}
+                rows[p, : len(sel)] = [rank[int(g)] for g in np.asarray(c.elem_sel)[sel]]
+        return dict(block_id=id(blk), b_sel=b_sel, i_sel=i_sel, tb=tb, ti=ti, rows=rows)
+
+    def _get_cond_block(self, c: _Contribution) -> dict:
+        """Per-block condensation aggregate spec (shared by all contributions
+        on the block): boundary-space local dof slots and shard element order."""
+        blk = c.block
+        entry = self._cond_blocks.get(id(blk))
+        if entry is not None:
+            return entry
+        from ..mesh.traits import boundary_node_indices, internal_node_indices
+
+        act = np.nonzero(self.problem.active_mask(c.domain_id))[0]
+        b_nodes = boundary_node_indices(blk.element_type, blk.order)
+        i_nodes = internal_node_indices(blk.element_type, blk.order)
+        nb, ni = len(b_nodes) * len(act), len(i_nodes) * len(act)
+        part = self._parts[id(blk)]
+        P = self.n_shards
+        order = [np.nonzero(part == p)[0] for p in range(P)]
+        E_max = max(1, max(len(o) for o in order))
+        b_dofs_g = self.dofmap.node_dof[blk.nodes[:, b_nodes]][:, :, act].reshape(
+            blk.n_elements, nb
+        )
+        b_lidx = np.full((P, E_max, nb), self._dump, dtype=np.int64)
+        for p in range(P):
+            if len(order[p]):
+                b_lidx[p, : len(order[p])] = self._g2l_map(p, b_dofs_g[order[p]])
+        entry = dict(
+            block=blk,
+            act=act,
+            b_nodes=b_nodes,
+            i_nodes=i_nodes,
+            nb=nb,
+            ni=ni,
+            order=order,
+            E_max=E_max,
+            b_dofs_g=b_dofs_g,
+            b_lidx=b_lidx,
+        )
+        self._cond_blocks[id(blk)] = entry
+        return entry
 
     def _add_contribution(self, c: _Contribution) -> None:
         blk = c.block
@@ -474,16 +567,28 @@ class DistributedSystem(_SystemBase):
                 r = np.repeat(li, Lw, axis=1).reshape(-1)
                 cc = np.tile(li, (1, Lw)).reshape(-1)
                 parts.append(np.unique(r * L1 + cc))
+            for entry in self._cond_blocks.values():
+                # Schur complement couples the element's full boundary space
+                bl = entry["b_lidx"][p]
+                nb = bl.shape[1]
+                r = np.repeat(bl, nb, axis=1).reshape(-1)
+                cc = np.tile(bl, (1, nb)).reshape(-1)
+                parts.append(np.unique(r * L1 + cc))
             keys_per_shard.append(np.unique(np.concatenate(parts)) if parts else
                                   np.asarray([self._dump * L1 + self._dump]))
         nnz_max = max(len(k) for k in keys_per_shard)
-        pad_key = self._dump * L1 + self._dump
         rows = np.full((P, nnz_max), self._dump, dtype=np.int64)
         cols = np.full((P, nnz_max), self._dump, dtype=np.int64)
         pos_per_bucket = [
             np.zeros((P, b.local_idx.shape[1] * b.local_idx.shape[2] ** 2), dtype=np.int64)
             for b in op_buckets
         ]
+        schur_pos = {
+            bid: np.zeros(
+                (P, entry["E_max"], entry["nb"], entry["nb"]), dtype=np.int64
+            )
+            for bid, entry in self._cond_blocks.items()
+        }
         for p in range(P):
             k = keys_per_shard[p]
             # keep sorted; pad keys sort after real ones iff dump is the max slot
@@ -496,6 +601,19 @@ class DistributedSystem(_SystemBase):
                 cc = np.tile(li, (1, Lw)).reshape(-1)
                 pos = np.searchsorted(k, r * L1 + cc)
                 pos_per_bucket[bi][p] = pos
+            for bid, entry in self._cond_blocks.items():
+                bl = entry["b_lidx"][p]
+                kk = bl[:, :, None] * L1 + bl[:, None, :]
+                schur_pos[bid][p] = np.searchsorted(k, kk)
+        # per-shard diagonal extraction positions (rows == cols); the diagonal
+        # of the ASSEMBLED (post-Schur) matrix feeds Jacobi/Chebyshev
+        dsel = [np.nonzero(rows[p] == cols[p])[0] for p in range(P)]
+        nd_max = max(1, max(len(d) for d in dsel))
+        dpos = np.zeros((P, nd_max), dtype=np.int64)
+        drow = np.full((P, nd_max), self._dump, dtype=np.int64)
+        for p in range(P):
+            dpos[p, : len(dsel[p])] = dsel[p]
+            drow[p, : len(dsel[p])] = rows[p][dsel[p]]
         # rows must be sorted per shard for segment_sum(indices_are_sorted)
         self._asm = {
             "rows": jnp.asarray(rows, jnp.int32),
@@ -503,6 +621,9 @@ class DistributedSystem(_SystemBase):
             "pos": [jnp.asarray(pp, jnp.int32) for pp in pos_per_bucket],
             "nnz": nnz_max,
             "buckets": op_buckets,
+            "schur_pos": {bid: jnp.asarray(sp, jnp.int32) for bid, sp in schur_pos.items()},
+            "dpos": jnp.asarray(dpos, jnp.int32),
+            "drow": jnp.asarray(drow, jnp.int32),
         }
 
     def _op_plumbing(self):
@@ -574,15 +695,6 @@ class DistributedSystem(_SystemBase):
 
         return fn
 
-    def _bucket_arrays(self):
-        out = []
-        for b in self._contribs:
-            out.append(jnp.asarray(b.verts, self.dtype))
-            out.append(jnp.asarray(b.local_idx, jnp.int32))
-            if b.fields is not None:
-                out.append(jnp.asarray(b.fields, self.dtype))
-        return out
-
     def raw_operator(self):
         """The constrained distributed operator is built in operator()."""
         raise NotImplementedError("DistributedSystem uses operator() directly")
@@ -636,82 +748,163 @@ class DistributedSystem(_SystemBase):
 
         dtype = self.dtype
         buckets = list(self._contribs)
-        if self._assembled_mode:
+        assembled = self._assembled_mode
+        if assembled:
             self._setup_assembled()
             pos_map = {id(b): pos for b, pos in zip(self._asm["buckets"], self._asm["pos"])}
         else:
             pos_map = {}
+        cond_ids = sorted(self._cond_blocks)  # deterministic aggregate order
 
         n_comm = 3 * self._n_neighbors
 
+        # stacked per-shard input arrays, in the exact order fn consumes them
+        args = []
+        for b in buckets:
+            args.append(jnp.asarray(b.verts, dtype))
+            args.append(jnp.asarray(b.local_idx, jnp.int32))
+            if b.fields is not None:
+                args.append(jnp.asarray(b.fields, dtype))
+            if assembled and b.mode != "rhs":
+                args.append(pos_map[id(b)])
+            if b.cond is not None:
+                args.append(jnp.asarray(b.cond["rows"], jnp.int32))
+        for bid in cond_ids:
+            args.append(jnp.asarray(self._cond_blocks[bid]["b_lidx"], jnp.int32))
+            args.append(self._asm["schur_pos"][bid])
+        if assembled:
+            args.append(self._asm["dpos"])
+            args.append(self._asm["drow"])
+
         def fn(owned_l, *rest):
+            from ..algsys.local import (
+                local_diagonal_sumfact,
+                local_rhs_sumfact,
+                local_system,
+            )
+            from ..algsys.system import _schur_factors
+
             owned_l = owned_l[0]
             comm_args = [a[0] for a in rest[:n_comm]]
-            arrays = [a[0] for a in rest[n_comm:]]
-            n_pos = len(pos_map)
-            pos_it = iter(arrays[len(arrays) - n_pos :]) if n_pos else iter(())
-            arrays = arrays[: len(arrays) - n_pos] if n_pos else arrays
-            it = iter(arrays)
+            it = iter(a[0] for a in rest[n_comm:])
             rhs = jnp.zeros((self.n_loc1, self.n_rhs), dtype)
             diag = jnp.zeros((self.n_loc1, 1), dtype)
             data = (
-                jnp.zeros((self._asm["nnz"],), dtype) if self._assembled_mode else jnp.zeros((1,), dtype)
+                jnp.zeros((self._asm["nnz"],), dtype) if assembled else jnp.zeros((1,), dtype)
             )
+            # per-block condensation aggregates, one extra discard row for padding
+            aggs = {}
+            for bid in cond_ids:
+                e = self._cond_blocks[bid]
+                E1, nb, ni = e["E_max"] + 1, e["nb"], e["ni"]
+                aggs[bid] = [
+                    jnp.zeros((E1, nb, ni), dtype),
+                    jnp.zeros((E1, ni, ni), dtype),
+                    jnp.zeros((E1, ni, self.n_rhs), dtype),
+                ]
             for b in buckets:
-                b.verts_dev = next(it)
-                b.lidx_dev = next(it)
-                b.fields_dev = next(it) if b.fields is not None else None
+                verts_dev = next(it)
+                lidx_dev = next(it)
+                fields_dev = next(it) if b.fields is not None else None
+                pos = next(it) if assembled and b.mode != "rhs" else None
+                cr = next(it) if b.cond is not None else None
                 use_sf = self._sumfact_ok(b)
                 geom = element_geometry(
                     b.tables,
-                    jnp.asarray(b.verts_dev, dtype),
-                    with_phys_ders=(
-                        self._assembled_mode or not use_sf or b.fields_dev is not None
-                    ),
+                    jnp.asarray(verts_dev, dtype),
+                    with_phys_ders=(assembled or not use_sf or fields_dev is not None),
                 )
                 fv = fd = None
-                if b.fields_dev is not None:
-                    fv, fd = eval_fields(b.tables, geom, jnp.asarray(b.fields_dev, dtype))
+                if fields_dev is not None:
+                    fv, fd = eval_fields(b.tables, geom, jnp.asarray(fields_dev, dtype))
                 A, f = eval_equation_kernel(b.kernel, geom, fv, fd, b.time, dtype)
-                from ..algsys.local import local_diagonal_sumfact, local_rhs_sumfact
-
                 q_order = b.options.quadrature_order(b.tables.order)
-                idx = b.lidx_dev.reshape(-1)
+                idx = lidx_dev.reshape(-1)
+                F = None
                 if b.mode != "operator":
                     if use_sf:
                         F = local_rhs_sumfact(A, geom, b.tables.order, q_order, b.tables.dim, f)
                     else:
                         B = _basis_stack(b.tables, geom, dtype)
                         F = local_rhs(A, B, geom.weights, f)
+                    # interior (condensed-out) rows land on the dump slot
                     rhs = rhs.at[idx].add(F.reshape(-1, self.n_rhs))
+                K = None
                 if b.mode != "rhs":
-                    if use_sf:
-                        d = local_diagonal_sumfact(A, geom, b.tables.order, q_order, b.tables.dim)
+                    if not assembled:
+                        if use_sf:
+                            d = local_diagonal_sumfact(
+                                A, geom, b.tables.order, q_order, b.tables.dim
+                            )
+                        else:
+                            B = _basis_stack(b.tables, geom, dtype)
+                            d = local_diagonal(A, B, geom.weights)
+                        diag = diag.at[idx].add(d.reshape(-1, 1))
                     else:
-                        B = _basis_stack(b.tables, geom, dtype)
-                        d = local_diagonal(A, B, geom.weights)
-                    diag = diag.at[idx].add(d.reshape(-1, 1))
-                    if self._assembled_mode:
-                        from ..algsys.local import local_system
-
                         K, _ = local_system(b.kernel, b.tables, geom, fv, fd, b.time, dtype)
-                        pos = next(pos_it)
+                        # full-K scatter: interior rows/cols point at the dump
+                        # slot's CSR entries, which the apply masks away, so
+                        # only the Kbb part survives in the global system
                         data = data.at[pos.reshape(-1)].add(K.reshape(-1))
+                if b.cond is not None:
+                    bs, isel = b.cond["b_sel"], b.cond["i_sel"]
+                    tb, ti = b.cond["tb"], b.cond["ti"]
+                    agg = aggs[b.cond["block_id"]]
+                    if K is not None:
+                        agg[0] = agg[0].at[
+                            cr[:, None, None], tb[None, :, None], ti[None, None, :]
+                        ].add(K[:, bs][:, :, isel])
+                        agg[1] = agg[1].at[
+                            cr[:, None, None], ti[None, :, None], ti[None, None, :]
+                        ].add(K[:, isel][:, :, isel])
+                    if F is not None:
+                        Ff = F.reshape(F.shape[0], -1, self.n_rhs)  # node-major -> flat dofs
+                        agg[2] = agg[2].at[cr[:, None], ti[None, :]].add(Ff[:, isel])
+            # per-element Schur complements (StaticCondensationManager analog):
+            # each element is owned by exactly one shard, so its interior data
+            # is complete here; the boundary-space updates flow through the
+            # regular ghost export
+            cond_out = []
+            for bid in cond_ids:
+                Kbi_a, Kii_a, Fi_a = aggs[bid]
+                Y, Z, npart = _schur_factors(
+                    Kii_a, jnp.swapaxes(Kbi_a, 1, 2), Fi_a, dtype
+                )
+                Y, Z, Kbi_t = Y[:-1], Z[:-1], Kbi_a[:-1]
+                bl = next(it)  # (E_max, nb) boundary-space local slots
+                sp = next(it)  # (E_max, nb, nb) CSR positions
+                schur = -jnp.einsum("ebi,eij->ebj", Kbi_t, Y)
+                data = data.at[sp.reshape(-1)].add(schur.reshape(-1))
+                rhs_corr = -jnp.einsum("ebi,eir->ebr", Kbi_t, Z)
+                rhs = rhs.at[bl.reshape(-1)].add(rhs_corr.reshape(-1, self.n_rhs))
+                cond_out.extend([Y[None], Z[None], npart.reshape(1, 1).astype(dtype)])
+            if assembled:
+                # diagonal of the assembled (post-Schur) matrix from the CSR
+                dpos = next(it)
+                drow = next(it)
+                diag = diag.at[drow].add(data[dpos][:, None])
             rhs = self._export(rhs, comm_args) * owned_l[:, None]
             diag = self._export(diag, comm_args) * owned_l[:, None]
-            return rhs[None], diag[None], data[None]
+            return (rhs[None], diag[None], data[None], *cond_out)
 
-        pos_arrays = list(self._asm["pos"]) if self._assembled_mode else []
-        n_b = sum(2 + (1 if b.fields is not None else 0) for b in buckets) + len(pos_arrays)
-        in_specs = (P("shards"),) * (1 + 3 * self._n_neighbors + n_b)
+        n_out = 3 + 3 * len(cond_ids)
+        in_specs = (P("shards"),) * (1 + n_comm + len(args))
         sharded = jax.shard_map(
             fn, mesh=self.device_mesh, in_specs=in_specs,
-            out_specs=(P("shards"), P("shards"), P("shards")),
+            out_specs=(P("shards"),) * n_out,
         )
-        rhs, diag, data = sharded(
-            self._owned_mask, *self._comm_arrays(), *self._bucket_arrays(), *pos_arrays
-        )
-        if self._assembled_mode:
+        outs = sharded(self._owned_mask, *self._comm_arrays(), *args)
+        rhs, diag, data = outs[0], outs[1], outs[2]
+        self._cond_YZ = {}
+        for i, bid in enumerate(cond_ids):
+            Y, Z, npart = outs[3 + 3 * i : 6 + 3 * i]
+            if float(np.asarray(npart).sum()) > 0:
+                raise RuntimeError(
+                    "static condensation: element interiors only partially assembled "
+                    "(kernel dof_inds must cover all active dofs of the condensed domain)"
+                )
+            self._cond_YZ[bid] = (np.asarray(Y), np.asarray(Z))
+        if assembled:
             self._data = data
         self.rhs = rhs
         diag = diag[:, :, 0]
@@ -760,6 +953,26 @@ class DistributedSystem(_SystemBase):
         vals = np.where(has, xg[np.where(has, nd, 0)], 0.0)
         sm = np.array(solution_manager.values)
         sm[:, slot_inds] = vals
+        # interior recovery: ui = Z - Y ub per element, from each shard's
+        # stored Schur factors (``StaticCondensationManager::recoverSolution``)
+        for bid, (Y, Z) in self._cond_YZ.items():
+            e = self._cond_blocks[bid]
+            blk, act, i_nodes = e["block"], e["act"], e["i_nodes"]
+            for p in range(self.n_shards):
+                sel = e["order"][p]
+                if not len(sel):
+                    continue
+                ub = xg[e["b_dofs_g"][sel]]  # (E_p, nb)
+                ui = Z[p, : len(sel), :, rhs_index] - np.einsum(
+                    "eij,ej->ei", Y[p, : len(sel)], ub
+                )
+                nodes = blk.nodes[sel][:, i_nodes]
+                vals_i = ui.reshape(len(sel), len(i_nodes), len(act))
+                for di, si in zip(dof_inds, slot_inds):
+                    hit = np.nonzero(act == di)[0]
+                    if not len(hit):
+                        continue
+                    sm[nodes.reshape(-1), si] = vals_i[:, :, int(hit[0])].reshape(-1)
         solution_manager.values = jnp.asarray(sm, solution_manager.dtype)
 
     def _solution_global(self) -> np.ndarray:
@@ -804,11 +1017,17 @@ def make_distributed_system(
     builds per-shard local CSR partial matrices (the Tpetra FECrsMatrix
     analog) sharing the same halo-exchange machinery.  ``part_fractions``
     sets heterogeneous shard weights (``comm/GatherNodeThroughputs.hpp``
-    analog).  Static condensation is not yet supported distributed."""
+    analog).  ELEMENT_BOUNDARY static condensation is supported with
+    GLOBAL_ASSEMBLY (per-shard batched Schur complements,
+    ``StaticCondensationManager.hpp:152-207``); matrix-free evaluation
+    rejects it like ``MakeAlgebraicSystem.hpp:18-31``."""
     from ..common.enums import CondensationPolicy
 
-    if params.cond_policy != CondensationPolicy.NONE:
-        raise NotImplementedError("distributed static condensation is not supported yet")
+    if (
+        params.cond_policy != CondensationPolicy.NONE
+        and params.eval_strategy != OperatorEvaluationStrategy.GLOBAL_ASSEMBLY
+    ):
+        raise ValueError("matrix-free evaluation cannot be combined with static condensation")
     return DistributedSystem(
         mesh, problem, bc_def, params, n_shards, devices, dtype, part_fractions
     )

@@ -171,6 +171,111 @@ class PvtuExporter:
             return export_def.path
         return path
 
+    def export_solution_sharded(
+        self, export_def: ExportDefinition, solution_manager=None, partition=None, n_pieces=None
+    ) -> str:
+        """Write one .vtu piece per shard + a .pvtu master referencing them
+        (``post/VtkExport.hpp:41-80``: one piece per rank).
+
+        ``partition`` is either a DistributedSystem (its element partition is
+        reused) or a dict ``{id(block): (n_elements,) part array}``; each
+        piece holds only its shard's elements with a compacted point list.
+        """
+        if not export_def.path.endswith(".pvtu"):
+            raise ValueError("sharded export requires a .pvtu path")
+        if partition is None:
+            raise ValueError("sharded export requires a partition (system or parts dict)")
+        if hasattr(partition, "_parts"):
+            n_pieces = n_pieces or partition.n_shards
+            parts = partition._parts
+        else:
+            parts = partition
+            if n_pieces is None:
+                n_pieces = 1 + max(int(p.max()) for p in parts.values() if len(p))
+        mesh = self.mesh
+        base = export_def.path[:-5]
+        os.makedirs(os.path.dirname(os.path.abspath(export_def.path)) or ".", exist_ok=True)
+        piece_files = []
+        field_vals = {}
+        for name, slots in export_def.fields:
+            if solution_manager is None:
+                raise ValueError("field export requires a SolutionManager")
+            field_vals[name] = np.asarray(solution_manager.values)[:, list(slots)]
+        for p in range(n_pieces):
+            conn_parts, types_parts = [], []
+            for did, blk in mesh.blocks(self.domain_ids):
+                part = parts.get(id(blk))
+                if part is None:
+                    continue
+                sel = np.nonzero(part == p)[0]
+                if not len(sel):
+                    continue
+                sub = _subcell_corners(blk.element_type, blk.order)
+                cells = blk.nodes[sel][:, sub].reshape(-1, sub.shape[1])
+                conn_parts.append(cells)
+                types_parts.append(
+                    np.full(cells.shape[0], _VTK_CELL[blk.element_type], dtype=np.uint8)
+                )
+            if conn_parts:
+                conn_g = np.concatenate([c.reshape(-1) for c in conn_parts])
+                piece_nodes = np.unique(conn_g)
+            else:
+                piece_nodes = np.empty(0, dtype=np.int64)
+            remap = {int(g): i for i, g in enumerate(piece_nodes)}
+            points = np.asarray(mesh.node_coords, dtype=np.float64)[piece_nodes]
+            connectivity = (
+                np.asarray([remap[int(g)] for g in conn_g], dtype=np.int64)
+                if conn_parts
+                else np.empty(0, dtype=np.int64)
+            )
+            offsets_l, off = [], 0
+            for c in conn_parts:
+                offsets_l.append(np.arange(1, c.shape[0] + 1) * c.shape[1] + off)
+                off += c.size
+            offsets = (
+                np.concatenate(offsets_l).astype(np.int64)
+                if offsets_l
+                else np.empty(0, dtype=np.int64)
+            )
+            types = (
+                np.concatenate(types_parts) if types_parts else np.empty(0, dtype=np.uint8)
+            )
+            point_data = []
+            for name, slots in export_def.fields:
+                vals = field_vals[name][piece_nodes]
+                if len(slots) == 1:
+                    point_data.append(_data_array(name, vals[:, 0].astype(np.float64)))
+                else:
+                    point_data.append(
+                        _data_array(name, vals.astype(np.float64), n_comp=len(slots))
+                    )
+            xml = [
+                '<?xml version="1.0"?>',
+                '<VTKFile type="UnstructuredGrid" version="0.1" byte_order="LittleEndian">',
+                "<UnstructuredGrid>",
+                f'<Piece NumberOfPoints="{len(points)}" NumberOfCells="{len(types)}">',
+                "<Points>",
+                _data_array("Points", points.reshape(-1, points.shape[-1]), n_comp=3),
+                "</Points>",
+                "<Cells>",
+                _data_array("connectivity", connectivity),
+                _data_array("offsets", offsets),
+                _data_array("types", types),
+                "</Cells>",
+                "<PointData>",
+                *point_data,
+                "</PointData>",
+                "</Piece>",
+                "</UnstructuredGrid>",
+                "</VTKFile>",
+            ]
+            fname = f"{base}_p{p}.vtu"
+            with open(fname, "w") as f:
+                f.write("\n".join(xml))
+            piece_files.append(os.path.basename(fname))
+        self._write_pvtu(export_def, piece_files)
+        return export_def.path
+
     def _write_pvtu(self, export_def: ExportDefinition, pieces: list[str]) -> None:
         lines = [
             '<?xml version="1.0"?>',

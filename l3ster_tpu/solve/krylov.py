@@ -42,7 +42,22 @@ def _col_dots(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(a * b, axis=tuple(range(a.ndim - 1)))
 
 
-def cg_solve(operator, b, x0=None, precond=None, tol=1e-10, max_iters=1000):
+def _residual_scale(b, r0, residual_scaling: str):
+    """Residual normalization (``solve/SolverInterface.hpp:26-37``):
+    "rhs" (norm of b, the default), "initial" (norm of r0), or "none"."""
+    if residual_scaling == "rhs":
+        s = jnp.sqrt(_col_dots(b, b))
+    elif residual_scaling == "initial":
+        s = jnp.sqrt(_col_dots(r0, r0))
+    elif residual_scaling == "none":
+        return jnp.ones(b.shape[-1], b.dtype)
+    else:
+        raise ValueError(f"unknown residual_scaling {residual_scaling!r}")
+    return jnp.where(s > 0, s, 1.0)
+
+
+def cg_solve(operator, b, x0=None, precond=None, tol=1e-10, max_iters=1000,
+             residual_scaling="rhs", verbosity=0):
     """Preconditioned conjugate gradients on an SPD operator; multivector RHS.
 
     Each right-hand-side column iterates with its own step lengths (the
@@ -53,10 +68,8 @@ def cg_solve(operator, b, x0=None, precond=None, tol=1e-10, max_iters=1000):
     x0 = jnp.zeros_like(b) if x0 is None else x0
     M = precond if precond is not None else (lambda r: r)
 
-    bnorm = jnp.sqrt(_col_dots(b, b))
-    bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
-
     r0 = b - operator(x0)
+    bnorm = _residual_scale(b, r0, residual_scaling)
     z0 = M(r0)
     rz0 = _col_dots(r0, z0)
 
@@ -76,6 +89,12 @@ def cg_solve(operator, b, x0=None, precond=None, tol=1e-10, max_iters=1000):
         rz_new = _col_dots(r, z)
         beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
         p = z + beta * p
+        if verbosity >= 2:
+            jax.debug.print(
+                "CG it {it}: rel res {res:.3e}",
+                it=it + 1,
+                res=jnp.max(jnp.sqrt(_col_dots(r, r)) / bnorm),
+            )
         return (x, r, z, p, rz_new, it + 1)
 
     state = (x0, r0, z0, z0, rz0, jnp.asarray(0))
@@ -102,7 +121,8 @@ def _back_substitute(R: jnp.ndarray, g: jnp.ndarray, m: int) -> jnp.ndarray:
     return jax.lax.fori_loop(0, m, body, jnp.zeros_like(g))
 
 
-def gmres_solve(operator, b, x0=None, precond=None, tol=1e-10, max_iters=1000, restart=50):
+def gmres_solve(operator, b, x0=None, precond=None, tol=1e-10, max_iters=1000, restart=50,
+                residual_scaling="rhs", verbosity=0):
     """Restarted GMRES(m): native Arnoldi (modified Gram-Schmidt) + Givens.
 
     Analog of the Belos GMRES (``solve/BelosSolvers.hpp:124-127``), built as a
@@ -123,8 +143,7 @@ def gmres_solve(operator, b, x0=None, precond=None, tol=1e-10, max_iters=1000, r
     dt = b2.dtype
     tiny = jnp.asarray(1e-30, dt)
 
-    bnorm = jnp.sqrt(_col_dots(b2, b2))
-    bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
+    bnorm = _residual_scale(b2, b2 - operator(x0_), residual_scaling)
 
     def safe_div(a, d):
         ok = jnp.abs(d) > tiny
@@ -185,6 +204,8 @@ def gmres_solve(operator, b, x0=None, precond=None, tol=1e-10, max_iters=1000, r
         x = cycle(x)
         r = b2 - operator(x)
         res = jnp.max(jnp.sqrt(_col_dots(r, r)) / bnorm)
+        if verbosity >= 2:
+            jax.debug.print("GMRES it {it}: rel res {res:.3e}", it=it + m, res=res)
         return (x, it + m, res)
 
     r0 = b2 - operator(x0_)
@@ -204,7 +225,7 @@ class CG:
         fn, consts = system.operator_parts()
         M_fn, M_consts = _precond_parts(self.precond, system)
         b = system.effective_rhs()
-        tol, max_iters = self.opts.tol, self.opts.max_iters
+        o = self.opts
         n_oc = len(consts)
 
         @jax.jit
@@ -213,11 +234,14 @@ class CG:
             pc = all_consts[n_oc:]
             return cg_solve(
                 lambda v: fn(v, *oc), b, x0=x0,
-                precond=lambda r: M_fn(r, *pc), tol=tol, max_iters=max_iters,
+                precond=lambda r: M_fn(r, *pc), tol=o.tol, max_iters=o.max_iters,
+                residual_scaling=o.residual_scaling, verbosity=o.verbosity,
             )
 
         x, it, res = solve_fn(b, system.solution_vector(), *consts, *M_consts)
         system.set_solution_vector(x)
+        if o.verbosity >= 1:
+            print(f"CG: {int(it)} iterations, relative residual {float(res):.3e}")
         return IterSolveResult(tol=float(res), num_iters=int(it))
 
 
@@ -232,7 +256,7 @@ class Gmres:
         fn, consts = system.operator_parts()
         M_fn, M_consts = _precond_parts(self.precond, system)
         b = system.effective_rhs()
-        tol, max_iters, restart = self.opts.tol, self.opts.max_iters, self.opts.restart
+        o = self.opts
         n_oc = len(consts)
 
         @jax.jit
@@ -241,9 +265,12 @@ class Gmres:
             pc = all_consts[n_oc:]
             return gmres_solve(
                 lambda v: fn(v, *oc), b, x0=x0, precond=lambda r: M_fn(r, *pc),
-                tol=tol, max_iters=max_iters, restart=restart,
+                tol=o.tol, max_iters=o.max_iters, restart=o.restart,
+                residual_scaling=o.residual_scaling, verbosity=o.verbosity,
             )
 
         x, it, res = solve_fn(b, system.solution_vector(), *consts, *M_consts)
         system.set_solution_vector(x)
+        if o.verbosity >= 1:
+            print(f"GMRES: {int(it)} iterations, relative residual {float(res):.3e}")
         return IterSolveResult(tol=float(res), num_iters=int(it))

@@ -14,7 +14,17 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-__all__ = ["Identity", "Richardson", "Jacobi", "Chebyshev"]
+__all__ = ["Identity", "Richardson", "Jacobi", "Chebyshev", "BlockJacobi", "SGS", "ILU0"]
+
+
+def _assembled_csr(system, who: str):
+    csr = getattr(system, "eliminated_csr", None)
+    if csr is None:
+        raise ValueError(
+            f"{who} needs the assembled CSR: use "
+            "OperatorEvaluationStrategy.GLOBAL_ASSEMBLY (single device)"
+        )
+    return csr()
 
 
 @dataclass(frozen=True)
@@ -118,3 +128,149 @@ class Chebyshev:
             return z
 
         return apply, (dinv_c, theta_c, delta_c) + tuple(oconsts)
+
+
+@dataclass(frozen=True)
+class BlockJacobi:
+    """Per-node dense block inverses (assembled path).
+
+    The MXU-friendly strong-diagonal option: each node's coupled unknowns
+    form a small dense block, inverted once at setup (batched Cholesky —
+    the LSFEM normal matrix is SPD) and applied as one batched matmul.
+    Blocking follows the DofMap's node grouping when the system has one,
+    else consecutive ``block_size`` chunks.
+    """
+
+    block_size: int = 0  # 0 = derive from the system's DofMap
+
+    def setup(self, system):
+        apply, pc = self.setup_parts(system)
+        return lambda r: apply(r, *pc)
+
+    def _blocks(self, system, n: int) -> "np.ndarray":
+        import numpy as np
+
+        dofmap = getattr(system, "dofmap", None)
+        if self.block_size <= 0 and dofmap is not None:
+            nd = np.asarray(dofmap.node_dof)
+            K = nd.shape[1]
+            blocks, seen = [], np.zeros(n, dtype=bool)
+            for row in nd:
+                d = row[row >= 0]
+                d = d[~seen[d]]
+                if not len(d):
+                    continue
+                seen[d] = True
+                blocks.append(np.concatenate([d, np.full(K - len(d), n, dtype=np.int64)]))
+            if not seen.all():  # dofs outside any node row (defensive)
+                rest = np.nonzero(~seen)[0]
+                for d in rest:
+                    blocks.append(np.concatenate([[d], np.full(K - 1, n, dtype=np.int64)]))
+            return np.asarray(blocks, dtype=np.int64)
+        K = max(1, self.block_size)
+        m = -(-n // K)
+        b = np.full((m, K), n, dtype=np.int64)
+        flat = np.arange(n, dtype=np.int64)
+        b.reshape(-1)[: len(flat)] = flat
+        return b
+
+    def setup_parts(self, system):
+        import numpy as np
+
+        data, indices, indptr, n = _assembled_csr(system, "BlockJacobi")
+        data = np.asarray(data, dtype=np.float64)
+        indices = np.asarray(indices, dtype=np.int64)
+        indptr = np.asarray(indptr, dtype=np.int64)
+        blocks = self._blocks(system, n)  # (M, K) dof ids, pad = n
+        M, K = blocks.shape
+        # CSR keys are globally sorted (rows increasing, cols sorted per row)
+        rows_all = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+        keys = rows_all * (n + 1) + indices  # n+1 base keeps pad keys distinct
+        want = blocks[:, :, None] * (n + 1) + blocks[:, None, :]
+        pos = np.searchsorted(keys, want.reshape(-1))
+        posc = np.minimum(pos, len(keys) - 1)
+        hit = (pos < len(keys)) & (keys[posc] == want.reshape(-1))
+        vals = np.where(hit, data[posc], 0.0).reshape(M, K, K)
+        # identity rows/cols on padded slots keep the blocks invertible
+        pad = blocks == n
+        vals = np.where(pad[:, :, None] | pad[:, None, :], 0.0, vals)
+        idx = np.arange(K)
+        vals[:, idx, idx] = np.where(pad, 1.0, vals[:, idx, idx])
+        d = system.diagonal()
+        dtype = d.dtype
+        import jax.scipy.linalg as jsl
+
+        B = jnp.asarray(vals, dtype)
+        L = jnp.linalg.cholesky(B)
+        Binv = jsl.cho_solve((L, True), jnp.broadcast_to(jnp.eye(K, dtype=dtype), B.shape))
+        blk = jnp.asarray(blocks, jnp.int32)
+
+        def apply(r, Binv, blk):
+            n_rhs = r.shape[-1]
+            rp = jnp.concatenate([r, jnp.zeros((1, n_rhs), r.dtype)])
+            xb = rp[blk]  # (M, K, n_rhs)
+            yb = jnp.einsum("mij,mjr->mir", Binv, xb)
+            y = jnp.zeros((n + 1, n_rhs), r.dtype)
+            y = y.at[blk.reshape(-1)].set(yb.reshape(-1, n_rhs))
+            return y[:n]
+
+        return apply, (Binv, blk)
+
+
+@dataclass(frozen=True)
+class SGS:
+    """Symmetric Gauss-Seidel: M = (D+L) D^-1 (D+U) on the assembled CSR
+    (``solve/Ifpack2Preconditioners.hpp:97``).  Triangular solves run
+    level-scheduled inside jit (see :mod:`l3ster_tpu.solve.tri`)."""
+
+    def setup(self, system):
+        apply, pc = self.setup_parts(system)
+        return lambda r: apply(r, *pc)
+
+    def setup_parts(self, system):
+        from .tri import build_tri_solve
+
+        data, indices, indptr, n = _assembled_csr(system, "SGS")
+        d = system.diagonal()
+        dtype = d.dtype
+        fwd, cf = build_tri_solve(data, indices, indptr, n, lower=True, unit_diag=False, dtype=dtype)
+        bwd, cb = build_tri_solve(data, indices, indptr, n, lower=False, unit_diag=False, dtype=dtype)
+        dvec = jnp.asarray(d, dtype)
+        nf = len(cf)
+
+        def apply(r, dvec, *cs):
+            w = fwd(r, *cs[:nf])
+            return bwd(w * dvec[:, None], *cs[nf:])
+
+        return apply, (dvec, *cf, *cb)
+
+
+@dataclass(frozen=True)
+class ILU0:
+    """Zero-fill incomplete LU (``Ifpack2Preconditioners.hpp:148`` RILUK(0)).
+
+    Host-side factorization on the eliminated CSR's own sparsity; the two
+    triangular solves run level-scheduled inside jit."""
+
+    def setup(self, system):
+        apply, pc = self.setup_parts(system)
+        return lambda r: apply(r, *pc)
+
+    def setup_parts(self, system):
+        from .tri import build_tri_solve, ilu0_factor
+
+        data, indices, indptr, n = _assembled_csr(system, "ILU0")
+        d = system.diagonal()
+        dtype = d.dtype
+        import numpy as np
+
+        fac = ilu0_factor(np.asarray(data), indices, indptr, n)
+        fwd, cf = build_tri_solve(fac, indices, indptr, n, lower=True, unit_diag=True, dtype=dtype)
+        bwd, cb = build_tri_solve(fac, indices, indptr, n, lower=False, unit_diag=False, dtype=dtype)
+        nf = len(cf)
+
+        def apply(r, *cs):
+            w = fwd(r, *cs[:nf])
+            return bwd(w, *cs[nf:])
+
+        return apply, (*cf, *cb)

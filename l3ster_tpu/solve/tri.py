@@ -1,0 +1,149 @@
+"""Level-scheduled sparse triangular solves (traceable).
+
+Support for the SGS / ILU(0) preconditioners
+(``solve/Ifpack2Preconditioners.hpp:97,148``).  A sequential sparse
+triangular solve is hostile to wide SIMD hardware; the TPU-native design is
+*level scheduling*: a host-side topological analysis groups rows into levels
+with no intra-level dependencies, and the traced solve is a
+``lax.fori_loop`` over levels where each level is one batched
+gather / segment-sum / scatter.  All index maps are static and travel as jit
+arguments (operator_parts protocol).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["build_tri_solve", "ilu0_factor"]
+
+
+def _levels(n: int, indptr: np.ndarray, indices: np.ndarray, lower: bool) -> np.ndarray:
+    """Topological level of each row for a (strictly) triangular solve."""
+    level = np.zeros(n, dtype=np.int64)
+    order = range(n) if lower else range(n - 1, -1, -1)
+    for i in order:
+        deps = indices[indptr[i] : indptr[i + 1]]
+        deps = deps[deps < i] if lower else deps[deps > i]
+        if len(deps):
+            level[i] = level[deps].max() + 1
+    return level
+
+
+def build_tri_solve(data, indices, indptr, n: int, lower: bool, unit_diag: bool, dtype):
+    """Build a traceable solver for T x = b, T = triangular part (+ diagonal)
+    of the given CSR.
+
+    Returns ``(apply, consts)`` with ``apply(b, *consts) -> x`` jit-safe;
+    ``b`` is (n, n_rhs).
+    """
+    data = np.asarray(data, dtype=np.float64)
+    indices = np.asarray(indices, dtype=np.int64)
+    indptr = np.asarray(indptr, dtype=np.int64)
+    rows_all = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    tri_mask = (indices < rows_all) if lower else (indices > rows_all)
+    tri_rows = rows_all[tri_mask]
+    tri_cols = indices[tri_mask]
+    tri_vals = data[tri_mask]
+
+    if unit_diag:
+        dinv = np.ones(n)
+    else:
+        dmask = indices == rows_all
+        dvals = np.zeros(n)
+        dvals[rows_all[dmask]] = data[dmask]
+        if (dvals == 0).any():
+            raise ValueError("triangular solve requires nonzero diagonal entries")
+        dinv = 1.0 / dvals
+
+    level = _levels(n, indptr, indices, lower)
+    n_lv = int(level.max()) + 1 if n else 1
+    rows_by_lv = [np.nonzero(level == lv)[0] for lv in range(n_lv)]
+    r_max = max(1, max(len(r) for r in rows_by_lv))
+    slot = np.zeros(n, dtype=np.int64)
+    ROWS = np.full((n_lv, r_max), n, dtype=np.int64)  # pad -> dump slot
+    DINV = np.ones((n_lv, r_max))
+    for lv, r in enumerate(rows_by_lv):
+        ROWS[lv, : len(r)] = r
+        DINV[lv, : len(r)] = dinv[r]
+        slot[r] = np.arange(len(r))
+
+    ent_lv = level[tri_rows]
+    counts = np.bincount(ent_lv, minlength=n_lv)
+    n_max = max(1, int(counts.max()) if len(counts) else 1)
+    COLS = np.full((n_lv, n_max), n, dtype=np.int64)  # pad -> x dump (0)
+    VALS = np.zeros((n_lv, n_max))
+    SEG = np.full((n_lv, n_max), r_max, dtype=np.int64)  # pad -> discard segment
+    fill = np.zeros(n_lv, dtype=np.int64)
+    order = np.argsort(ent_lv, kind="stable")
+    for e in order:
+        lv = ent_lv[e]
+        k = fill[lv]
+        COLS[lv, k] = tri_cols[e]
+        VALS[lv, k] = tri_vals[e]
+        SEG[lv, k] = slot[tri_rows[e]]
+        fill[lv] += 1
+
+    consts = (
+        jnp.asarray(ROWS, jnp.int32),
+        jnp.asarray(DINV, dtype),
+        jnp.asarray(COLS, jnp.int32),
+        jnp.asarray(VALS, dtype),
+        jnp.asarray(SEG, jnp.int32),
+    )
+
+    def apply(b, ROWS, DINV, COLS, VALS, SEG):
+        n_rhs = b.shape[1]
+        x = jnp.zeros((n + 1, n_rhs), b.dtype)
+        bb = jnp.concatenate([b, jnp.zeros((1, n_rhs), b.dtype)])
+
+        def body(lv, x):
+            contrib = VALS[lv][:, None] * x[COLS[lv]]
+            s = jax.ops.segment_sum(contrib, SEG[lv], num_segments=r_max + 1)[:r_max]
+            xr = (bb[ROWS[lv]] - s) * DINV[lv][:, None]
+            return x.at[ROWS[lv]].set(xr)
+
+        x = jax.lax.fori_loop(0, n_lv, body, x)
+        return x[:n]
+
+    return apply, consts
+
+
+def ilu0_factor(data, indices, indptr, n: int):
+    """Zero-fill incomplete LU on the CSR's own sparsity (RILUK level 0,
+    ``solve/Ifpack2Preconditioners.hpp:148``).  Host-side numpy; columns
+    within each row must be sorted (true for our sparsity builders).
+
+    Returns the factored value array: strictly-lower entries hold L (unit
+    diagonal implied), diagonal + upper hold U.
+    """
+    a = np.array(data, dtype=np.float64, copy=True)
+    indices = np.asarray(indices, dtype=np.int64)
+    indptr = np.asarray(indptr, dtype=np.int64)
+    diag_pos = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        s, e = indptr[i], indptr[i + 1]
+        dp = s + np.searchsorted(indices[s:e], i)
+        if dp >= e or indices[dp] != i:
+            raise ValueError("ILU0 requires explicit diagonal entries")
+        diag_pos[i] = dp
+    for i in range(n):
+        s, e = indptr[i], indptr[i + 1]
+        cols_i = indices[s:e]
+        for kk in range(s, diag_pos[i]):
+            k = indices[kk]
+            akk = a[diag_pos[k]]
+            if akk == 0.0:
+                raise ZeroDivisionError(f"ILU0 breakdown: zero pivot at row {k}")
+            lik = a[kk] / akk
+            a[kk] = lik
+            ks, ke = diag_pos[k] + 1, indptr[k + 1]
+            if ks >= ke:
+                continue
+            ck = indices[ks:ke]
+            pos = np.searchsorted(cols_i, ck)
+            posc = np.minimum(pos, len(cols_i) - 1)
+            hit = (pos < len(cols_i)) & (cols_i[posc] == ck)
+            a[s + pos[hit]] -= lik * a[ks:ke][hit]
+    return a

@@ -225,3 +225,35 @@ def test_native_io_roundtrip(tmp_path):
         n_shards=4,
     )
     assert sys2.n_dofs == mesh2.n_nodes
+
+
+def test_vtk_export_sharded(tmp_path):
+    """Multi-piece .pvtu: one .vtu piece per shard with compacted points
+    (``post/VtkExport.hpp:41-80`` one-piece-per-rank parity)."""
+    import xml.etree.ElementTree as ET
+
+    from l3ster_tpu.parallel.distributed import make_distributed_system
+
+    mesh = lt.generate_mesh(lt.make_square_mesh(np.linspace(0, 1, 5)), order=2)
+    problem = lt.ProblemDefinition(1, [0])
+    system = make_distributed_system(mesh, problem, n_shards=4)
+    man = lt.SolutionManager(mesh, 1)
+    man.set_field([0], np.asarray(mesh.node_coords)[:, 0])
+    exporter = PvtuExporter(mesh)
+    d = ExportDefinition(str(tmp_path / "sharded.pvtu"))
+    d.define_field("x_coord", [0])
+    path = exporter.export_solution_sharded(d, man, partition=system)
+    assert os.path.exists(path)
+    master = ET.parse(path)
+    pieces = [p.get("Source") for p in master.getroot().iter("Piece")]
+    assert len(pieces) == 4
+    total_cells = 0
+    for p in pieces:
+        f = str(tmp_path / p)
+        assert os.path.exists(f)
+        t = ET.parse(f)
+        el = next(t.getroot().iter("Piece"))
+        total_cells += int(el.get("NumberOfCells"))
+        assert int(el.get("NumberOfPoints")) < mesh.n_nodes  # compacted
+    # 16 quads at p=2 -> 64 linear subcells, disjointly distributed
+    assert total_cells == 64

@@ -63,6 +63,10 @@ SOLVERS = [
     ("cg-chebyshev", lambda: lt.CG(lt.IterSolverOpts(tol=1e-12, max_iters=2000), precond=lt.Chebyshev())),
     ("gmres-identity", lambda: lt.Gmres(lt.IterSolverOpts(tol=1e-10, max_iters=4000))),
     ("gmres-jacobi", lambda: lt.Gmres(lt.IterSolverOpts(tol=1e-10, max_iters=4000), precond=lt.Jacobi())),
+    ("cg-blockjacobi", lambda: lt.CG(lt.IterSolverOpts(tol=1e-12, max_iters=2000), precond=lt.BlockJacobi(block_size=3))),
+    ("cg-sgs", lambda: lt.CG(lt.IterSolverOpts(tol=1e-12, max_iters=2000), precond=lt.SGS())),
+    ("cg-ilu0", lambda: lt.CG(lt.IterSolverOpts(tol=1e-12, max_iters=2000), precond=lt.ILU0())),
+    ("gmres-ilu0", lambda: lt.Gmres(lt.IterSolverOpts(tol=1e-10, max_iters=4000), precond=lt.ILU0())),
     ("klu2", lt.Klu2),
     ("lapack", lt.Lapack),
 ]
@@ -135,3 +139,68 @@ def test_gmres_stacked_layout():
     assert x.shape == (4, 16, 2)
     err = np.abs(np.asarray(x).reshape(64, 2) - x_exact).max()
     assert err < 1e-8 and int(it) > 0
+
+
+def test_strong_preconditioners_cut_iterations():
+    """ILU0 / SGS / BlockJacobi on a real assembled LSFEM system must converge
+    in far fewer Krylov iterations than point Jacobi
+    (``Ifpack2Preconditioners.hpp:97-186`` rationale)."""
+    import l3ster_tpu as lt
+    from tests.test_diffusion_2d import adiabatic_bc, diffusion_kernel_2d
+
+    mesh = lt.generate_mesh(lt.make_square_mesh(np.linspace(0.0, 1.0, 5)), order=3)
+    problem = lt.ProblemDefinition(3, [0])
+    bcs = lt.BCDefinition(problem)
+    bcs.define_dirichlet([3, 4], [0])
+    system = lt.make_algebraic_system(mesh, problem, bcs)
+    kd = lt.wrap_domain_equation_kernel(
+        diffusion_kernel_2d, lt.KernelParams(dimension=2, n_equations=4, n_unknowns=3)
+    )
+    kn = lt.wrap_boundary_equation_kernel(
+        adiabatic_bc, lt.KernelParams(dimension=2, n_equations=1, n_unknowns=3)
+    )
+    kdir = lt.wrap_boundary_residual_kernel(
+        lambda i, o: o.__setitem__(0, i.point.x), lt.KernelParams(dimension=2, n_equations=1)
+    )
+    opts = lt.AssemblyOptions(value_order=1, derivative_order=0)
+    system.set_dirichlet_bc_values(kdir, [3, 4], [0])
+    system.begin_assembly()
+    system.assemble_problem(kd, [0], options=opts)
+    system.assemble_problem(kn, [1, 2])
+    system.end_assembly()
+
+    iters = {}
+    for name, pc in [
+        ("jacobi", lt.Jacobi()),
+        ("blockjacobi", lt.BlockJacobi()),
+        ("sgs", lt.SGS()),
+        ("ilu0", lt.ILU0()),
+    ]:
+        res = system.solve(lt.CG(lt.IterSolverOpts(tol=1e-10, max_iters=20000), precond=pc))
+        assert res.tol < 1e-9, (name, res)
+        iters[name] = res.num_iters
+    assert iters["ilu0"] * 3 <= iters["jacobi"], iters
+    assert iters["sgs"] * 3 <= iters["jacobi"], iters
+    assert iters["blockjacobi"] < iters["jacobi"], iters
+
+
+def test_solver_options_scaling_and_verbosity(capsys):
+    """residual_scaling modes + verbosity output (SolverInterface.hpp:26-37)."""
+    system, x_exact = _spd_system()
+    res = lt.CG(
+        lt.IterSolverOpts(tol=1e-12, max_iters=2000, residual_scaling="initial", verbosity=1)
+    ).solve(system)
+    assert res.tol < 1e-12
+    out = capsys.readouterr().out
+    assert "CG:" in out and "iterations" in out
+    x = np.asarray(system.solution_vector())
+    assert np.abs(x - x_exact).max() / np.abs(x_exact).max() < 1e-7
+
+    system2, _ = _spd_system()
+    res2 = lt.CG(lt.IterSolverOpts(tol=1e-9, max_iters=2000, residual_scaling="none")).solve(system2)
+    assert res2.tol < 1e-9  # absolute residual converged
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lt.CG(lt.IterSolverOpts(residual_scaling="bogus")).solve(_spd_system()[0])
