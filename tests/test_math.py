@@ -75,3 +75,29 @@ def test_diff_matrix_constant_null():
     nodes, _ = gauss_lobatto(5)
     D = lagrange_diff_matrix(nodes)
     assert np.allclose(D @ np.ones(5), 0.0, atol=1e-12)
+
+
+def test_polynomial_type():
+    """Polynomial evaluation/calculus/roots (``math/Polynomial.hpp``)."""
+    from l3ster_tpu.math.polynomial import Polynomial, lagrange_from_roots
+
+    p = Polynomial((2.0, -3.0, 1.0))  # (x-1)(x-2)
+    assert np.allclose(p([1.0, 2.0]), 0.0)
+    assert np.allclose(sorted(p.real_roots()), [1.0, 2.0])
+    d = p.derivative()
+    assert d.coefficients == (-3.0, 2.0)
+    # integral of (x-1)(x-2) over [1, 2] = -1/6
+    assert abs(p.integrate(1.0, 2.0) + 1.0 / 6.0) < 1e-14
+    q = p * Polynomial((0.0, 1.0))  # x * p
+    assert np.allclose(sorted(q.real_roots()), [0.0, 1.0, 2.0])
+    s = p + Polynomial((1.0,))
+    assert np.allclose(s(0.0), 3.0)
+    m = lagrange_from_roots([0.5, -0.5])
+    assert np.allclose(m.real_roots(), [-0.5, 0.5])
+    assert m.order == 2 and m.coefficients[-1] == 1.0
+    # Legendre P3 roots vs the Gauss rule nodes
+    p3 = Polynomial((0.0, -1.5, 0.0, 2.5))
+    from l3ster_tpu.math.gauss import gauss_legendre
+
+    x_rule, _ = gauss_legendre(3)
+    assert np.allclose(sorted(p3.real_roots()), np.sort(np.asarray(x_rule)), atol=1e-12)

@@ -67,6 +67,8 @@ SOLVERS = [
     ("cg-sgs", lambda: lt.CG(lt.IterSolverOpts(tol=1e-12, max_iters=2000), precond=lt.SGS())),
     ("cg-ilu0", lambda: lt.CG(lt.IterSolverOpts(tol=1e-12, max_iters=2000), precond=lt.ILU0())),
     ("gmres-ilu0", lambda: lt.Gmres(lt.IterSolverOpts(tol=1e-10, max_iters=4000), precond=lt.ILU0())),
+    # note: ILUT's permuted factorization is nonsymmetric -> GMRES only
+    ("gmres-ilut", lambda: lt.Gmres(lt.IterSolverOpts(tol=1e-10, max_iters=4000), precond=lt.ILUT(drop_tol=1e-5))),
     ("klu2", lt.Klu2),
     ("lapack", lt.Lapack),
 ]
