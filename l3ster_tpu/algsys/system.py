@@ -981,6 +981,46 @@ class MatrixFreeSystem(_SystemBase):
         c._lat_plan = plan
         return plan
 
+    def _face_plan(self, c: _Contribution):
+        """Gather-free boundary access: when a boundary bucket covers one full
+        side of a lattice block (restricted to its surface nodes), the element
+        access is a static lattice-plane slice + (dim-1)D window extraction
+        (``ops/lattice.py``).  Boundary gathers otherwise cost ~half the whole
+        p=6 flagship apply (TPU gathers are per-row overhead-bound)."""
+        plan = getattr(c, "_face_plan_cache", "unset")
+        if not (isinstance(plan, str) and plan == "unset"):
+            return plan
+        plan = None
+        ns = getattr(c, "_direct_ns", None)
+        if (
+            ns is not None
+            and c.tables.side is not None
+            and c.elem_sel is not None
+            and self.n_dofs % len(c.dof_inds) == 0
+        ):
+            from ..ops.lattice import detect_face_plan, detect_lattice_plan
+
+            n_unk = len(c.dof_inds)
+            full_dofs = self.dofmap.element_dofs(c.block.nodes, c.dof_inds)
+            starts = full_dofs[:, :, 0]
+            consec = (full_dofs == starts[:, :, None] + np.arange(n_unk)).all()
+            if consec and (starts % n_unk == 0).all():
+                vol_plan = detect_lattice_plan(
+                    starts // n_unk, self.n_dofs // n_unk, c.tables.order, c.tables.dim
+                )
+                if vol_plan is not None:
+                    plan = detect_face_plan(
+                        vol_plan,
+                        c.tables.order,
+                        c.tables.dim,
+                        c.tables.side,
+                        c.elem_sel,
+                        ns,
+                        c.block.nodes.shape[1],
+                    )
+        c._face_plan_cache = plan
+        return plan
+
     def _incidence_plan(self, c: _Contribution):
         """Inverse of the node-row scatter: inc (n_rows, K) flat positions into
         the (E*n_nodes)-flattened local result such that
@@ -1129,7 +1169,12 @@ class MatrixFreeSystem(_SystemBase):
             lat = self._lattice_plan(c)
             gi = len(consts)
             ns = getattr(c, "_direct_ns", None)
-            if ns is not None:  # restricted node subset (scalar index path)
+            if ns is not None and self._face_plan(c) is not None:
+                # full-lattice-side boundary bucket: pure slicing, no gathers
+                spec.append(
+                    op + (gi, self.n_dofs // len(c.dof_inds), ("face", self._face_plan(c)))
+                )
+            elif ns is not None:  # restricted node subset (scalar index path)
                 consts.append(
                     jnp.asarray(c.elem_dofs[:, ns].reshape(c.elem_dofs.shape[0], -1))
                 )
@@ -1173,16 +1218,25 @@ class MatrixFreeSystem(_SystemBase):
                         y = y.at[:, r].add(yr.reshape(-1))
                     continue
                 rows = n_rows is not None
+                face = None
                 lat = flag if isinstance(flag, tuple) else None
+                if lat is not None and len(lat) == 2 and lat[0] == "face":
+                    face, lat = lat[1], None
                 inc = None
-                if lat is None and rows:
+                if face is None and lat is None and rows:
                     row_idx = consts[gi]
                     inc = consts[gi + 1] if flag else None
-                elif lat is None:
+                elif face is None and lat is None:
                     idx = consts[gi]
                 q_order = c.options.quadrature_order(c.tables.order)
                 for r in range(x.shape[1]):
-                    if lat is not None:
+                    if face is not None:
+                        from ..ops.lattice import face_gather, face_scatter_pad
+
+                        x_loc = face_gather(
+                            x[:, r].reshape(n_rows, n_unk), face, c.tables.order
+                        )
+                    elif lat is not None:
                         x_loc = lattice_gather(
                             x[:, r].reshape(n_rows, n_unk), lat, c.tables.order
                         )
@@ -1225,7 +1279,10 @@ class MatrixFreeSystem(_SystemBase):
                     else:
                         _, A, B, w = d
                         y_loc = local_apply_direct(A, B, w, x_loc)
-                    if lat is not None:
+                    if face is not None:
+                        yr = face_scatter_pad(y_loc, face, c.tables.order)
+                        y = y.at[:, r].add(yr.reshape(-1))
+                    elif lat is not None:
                         yr = lattice_scatter_add(y_loc, lat, c.tables.order)
                         y = y.at[:, r].add(yr.reshape(-1))
                     elif rows and inc is not None:

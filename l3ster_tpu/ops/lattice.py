@@ -19,10 +19,18 @@ so the (ne, p+1) windows are the contiguous run ``t[:ne*p]`` reshaped to
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["detect_lattice_plan", "lattice_gather", "lattice_scatter_add"]
+__all__ = [
+    "detect_lattice_plan",
+    "lattice_gather",
+    "lattice_scatter_add",
+    "detect_face_plan",
+    "face_gather",
+    "face_scatter_pad",
+]
 
 
 def detect_lattice_plan(row_idx: np.ndarray, n_rows: int, order: int, dim: int):
@@ -120,6 +128,9 @@ def lattice_gather(x: jnp.ndarray, plan, order: int) -> jnp.ndarray:
     n = p + 1
     c = x.shape[-1]
     dim = len(n1)
+    if dim == 1:
+        out = _window0(x.reshape(n1[0], c), ne[0], p)  # (ne, n, c)
+        return out if eidx is None else out[eidx]
     if dim == 2:
         t = x.reshape(n1[1], n1[0], c)
         t = _window0(t, ne[1], p)  # (ney, nj, n1x, c)
@@ -139,6 +150,92 @@ def lattice_gather(x: jnp.ndarray, plan, order: int) -> jnp.ndarray:
     return out if eidx is None else out[eidx]
 
 
+def detect_face_plan(vol_plan, order: int, dim: int, side: int, elem_sel, ns, n_nodes: int):
+    """Slicing plan for a boundary bucket that covers one FULL side of a
+    lattice block, restricted to the side's surface nodes.
+
+    With lattice node numbering the side's surface nodes are one lattice
+    plane (a (dim-1)-lattice), so the per-element boundary gather/scatter —
+    the dominant cost of boundary contributions on TPU (per-row overhead) —
+    becomes a static plane slice + (dim-1)D window extraction.
+
+    Returns dict(axis, hi, n1, plan2d) or None when the bucket is not a full
+    canonical side (fallback to the gather path).
+    """
+    n1, ne, eidx, _ = vol_plan
+    p = order
+    n = p + 1
+    axis, hi = side // 2, side % 2
+    # ns must be exactly the side's surface nodes, ascending local ids
+    lat = np.arange(n_nodes)
+    if dim == 3:
+        coords = (lat % n, (lat // n) % n, lat // (n * n))
+    else:
+        coords = (lat % n, lat // n)
+    pred = np.nonzero(coords[axis] == (p if hi else 0))[0]
+    if ns is None or not np.array_equal(np.asarray(ns), pred):
+        return None
+    sel = np.asarray(elem_sel, dtype=np.int64)
+    can = np.asarray(eidx)[sel] if eidx is not None else sel
+    ex = can % ne[0]
+    rest = can // ne[0]
+    ecoords = (ex, rest % ne[1], rest // ne[1]) if dim == 3 else (ex, rest)
+    if not (ecoords[axis] == (ne[axis] - 1 if hi else 0)).all():
+        return None
+    rem = [a for a in range(dim) if a != axis]
+    ne2 = tuple(int(ne[a]) for a in rem)
+    n12 = tuple(int(n1[a]) for a in rem)
+    E = len(sel)
+    if E != int(np.prod(ne2)):
+        return None
+    fcan = ecoords[rem[0]] + (ne2[0] * ecoords[rem[1]] if dim == 3 else 0)
+    if len(np.unique(fcan)) != E:
+        return None
+    if np.array_equal(fcan, np.arange(E)):
+        feidx = finv = None
+    else:
+        feidx = fcan.astype(np.int32)
+        finv = np.empty(E, dtype=np.int64)
+        finv[fcan] = np.arange(E)
+        finv = finv.astype(np.int32)
+    return dict(
+        axis=axis,
+        hi=bool(hi),
+        n1=tuple(int(a) for a in n1),
+        plan2d=(n12, ne2, feidx, finv),
+    )
+
+
+def face_gather(x: jnp.ndarray, fp: dict, order: int) -> jnp.ndarray:
+    """x (n_rows, c) -> x_loc (E_face, n_surface_nodes, c): plane slice +
+    (dim-1)D window extraction, no gathers."""
+    n1, axis = fp["n1"], fp["axis"]
+    c = x.shape[-1]
+    dim = len(n1)
+    t = x.reshape(tuple(reversed(n1)) + (c,))
+    pos = dim - 1 - axis  # axis position in the reversed (z, y, x) layout
+    idx = n1[axis] - 1 if fp["hi"] else 0
+    plane = jax.lax.index_in_dim(t, idx, axis=pos, keepdims=False)
+    return lattice_gather(plane.reshape(-1, c), fp["plan2d"], order)
+
+
+def face_scatter_pad(y_loc: jnp.ndarray, fp: dict, order: int) -> jnp.ndarray:
+    """Exact transpose of :func:`face_gather`, padded back to (n_rows, c):
+    (dim-1)D overlap-add + static plane insert (no scatter)."""
+    n1, axis = fp["n1"], fp["axis"]
+    c = y_loc.shape[-1]
+    dim = len(n1)
+    n12 = fp["plan2d"][0]
+    plane = lattice_scatter_add(y_loc, fp["plan2d"], order)
+    plane = plane.reshape(tuple(reversed(n12)) + (c,))
+    pos = dim - 1 - axis
+    idx = n1[axis] - 1 if fp["hi"] else 0
+    full = jnp.zeros(tuple(reversed(n1)) + (c,), y_loc.dtype)
+    key = tuple(slice(None) for _ in range(pos)) + (idx,)
+    full = full.at[key].set(plane)
+    return full.reshape(-1, c)
+
+
 def lattice_scatter_add(y_loc: jnp.ndarray, plan, order: int) -> jnp.ndarray:
     """Exact transpose of :func:`lattice_gather`: (E, n_nodes, c) -> (n_rows, c)."""
     n1, ne, _, inv_eidx = plan
@@ -148,6 +245,8 @@ def lattice_scatter_add(y_loc: jnp.ndarray, plan, order: int) -> jnp.ndarray:
     dim = len(n1)
     if inv_eidx is not None:
         y_loc = y_loc[inv_eidx]
+    if dim == 1:
+        return _unwindow0(y_loc, ne[0], p)
     if dim == 2:
         t = y_loc.reshape(ne[1], ne[0], n, n, c)
         t = jnp.transpose(t, (0, 2, 1, 3, 4))  # (ney, nj, nex, ni, c)

@@ -193,9 +193,51 @@ def local_apply_lattice(
     # single entry transpose to channel-leading; everything downstream keeps
     # lattice axes minor (lane-packed) so channel stacks are row views
     t = x.T.reshape((c,) + tuple(reversed(n1)))
-    v, ders = lattice_interp(t, tabs)
     EQ = w_l.shape[0]
     qsh = tuple(q1 * n for n in reversed(ne))
+    fused_z = (
+        A_const is not None
+        and dim == 3
+        and jax.default_backend() == "tpu"
+        and os.environ.get("L3STER_TPU_FUSED_Z", "1") not in ("0", "false")
+    )
+    if fused_z:
+        # x/y interp stages in XLA, then the fused Pallas z-sweep + per-QP
+        # algebra + z-transpose (ops/pallas_zsweep.py), then y/x transpose
+        # stages in XLA.  Avoids materializing the four largest QP-space
+        # tensors and the FMA-chain intermediates in HBM.
+        from .pallas_zsweep import fused_z_sweep
+
+        (NxT, DxT), (NyT, DyT), (NzT, DzT) = tabs
+        ax = jnp.einsum("czyx,xQ->czyQ", t, NxT, precision=_PREC)
+        adx0 = jnp.einsum("czyx,xQ->czyQ", t, DxT, precision=_PREC)
+        S, R, Q = qsh
+        n1z = t.shape[1]
+        b = jnp.einsum("czyQ,yR->zcRQ", ax, NyT, precision=_PREC).reshape(n1z, c, R * Q)
+        bdy = jnp.einsum("czyQ,yR->zcRQ", ax, DyT, precision=_PREC).reshape(n1z, c, R * Q)
+        bdx = jnp.einsum("czyQ,yR->zcRQ", adx0, NyT, precision=_PREC).reshape(n1z, c, R * Q)
+        a, ady, adx = fused_z_sweep(
+            np.asarray(A_const),
+            b,
+            bdy,
+            bdx,
+            Ji_l.reshape(dim * dim, S, R * Q),
+            w_l.reshape(S, R * Q),
+            NzT,
+            DzT,
+        )
+        a = a.reshape(n1z, c, R, Q)
+        ady = ady.reshape(n1z, c, R, Q)
+        adx = adx.reshape(n1z, c, R, Q)
+        a2 = jnp.einsum("zcRQ,yR->czyQ", a, NyT, precision=_PREC) + jnp.einsum(
+            "zcRQ,yR->czyQ", ady, DyT, precision=_PREC
+        )
+        adx2 = jnp.einsum("zcRQ,yR->czyQ", adx, NyT, precision=_PREC)
+        y = jnp.einsum("czyQ,xQ->czyx", a2, NxT, precision=_PREC) + jnp.einsum(
+            "czyQ,xQ->czyx", adx2, DxT, precision=_PREC
+        )
+        return y.reshape(c, -1).T.reshape(x.shape)
+    v, ders = lattice_interp(t, tabs)
     # opt-in only: measured 1.188 (Pallas) vs 1.114 ms (XLA chains) per apply
     # at the p=6 flagship — XLA fuses the c-leading row-sliced FMA chains well
     # enough that the kernel's concat/pad/grid overhead is a net loss here
