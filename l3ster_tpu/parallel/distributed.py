@@ -75,6 +75,7 @@ class DistributedSystem(_SystemBase):
         devices=None,
         dtype=None,
         part_fractions=None,
+        partition_method: str = "rcb",
     ):
         super().__init__(mesh, problem, bc_def, params, dtype)
         devices = devices if devices is not None else jax.devices()
@@ -84,7 +85,9 @@ class DistributedSystem(_SystemBase):
         self.device_mesh = jax.sharding.Mesh(
             np.asarray(devices[: self.n_shards]), ("shards",)
         )
-        self._parts = partition_mesh_elements(mesh, self.n_shards, problem, part_fractions)
+        self._parts = partition_mesh_elements(
+            mesh, self.n_shards, problem, part_fractions, method=partition_method
+        )
         self._setup_ownership()
         self._contribs: list[_ShardBucket] = []
         self._diag = None
@@ -1011,6 +1014,7 @@ def make_distributed_system(
     devices=None,
     dtype=None,
     part_fractions=None,
+    partition_method: str = "rcb",
 ) -> DistributedSystem:
     """Factory for the sharded system (distributeMesh + makeAlgebraicSystem
     analog).  MATRIX_FREE keeps everything element-local; GLOBAL_ASSEMBLY
@@ -1029,5 +1033,6 @@ def make_distributed_system(
     ):
         raise ValueError("matrix-free evaluation cannot be combined with static condensation")
     return DistributedSystem(
-        mesh, problem, bc_def, params, n_shards, devices, dtype, part_fractions
+        mesh, problem, bc_def, params, n_shards, devices, dtype, part_fractions,
+        partition_method,
     )

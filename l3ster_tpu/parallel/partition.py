@@ -12,7 +12,103 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["partition_rcb", "partition_mesh_elements"]
+__all__ = ["partition_rcb", "partition_graph", "partition_mesh_elements"]
+
+
+def partition_graph(
+    corner_nodes: np.ndarray,
+    n_parts: int,
+    weights: np.ndarray | None = None,
+    part_fractions: np.ndarray | None = None,
+) -> np.ndarray:
+    """Greedy graph-growing partition with one FM-style refinement pass.
+
+    The graph-partitioner analog of the reference's METIS path
+    (``mesh/PartitionMesh.hpp:480-516``) for unstructured imports where
+    coordinate bisection cuts through thin features: parts grow by BFS over
+    the element-connectivity graph (elements sharing corner nodes), then one
+    boundary sweep moves elements to the neighbor part with the largest cut
+    reduction subject to balance.
+    """
+    import scipy.sparse as sp
+
+    E = len(corner_nodes)
+    w = np.ones(E) if weights is None else np.asarray(weights, dtype=np.float64)
+    fr = (
+        np.full(n_parts, 1.0 / n_parts)
+        if part_fractions is None
+        else np.asarray(part_fractions, dtype=np.float64) / np.sum(part_fractions)
+    )
+    if n_parts <= 1 or E == 0:
+        return np.zeros(E, dtype=np.int64)
+    flat = np.asarray(corner_nodes).reshape(E, -1)
+    k = flat.shape[1]
+    rows = np.repeat(np.arange(E), k)
+    inc = sp.csr_matrix(
+        (np.ones(E * k, dtype=np.int8), (rows, flat.reshape(-1))),
+        shape=(E, int(flat.max()) + 1),
+    )
+    adj = (inc @ inc.T).tocsr()
+    adj.setdiag(0)
+    adj.eliminate_zeros()
+    indptr, indices = adj.indptr, adj.indices
+
+    part = np.full(E, -1, dtype=np.int64)
+    total_w = w.sum()
+    seed = 0
+    for p in range(n_parts):
+        target = fr[p] * total_w
+        free = np.nonzero(part < 0)[0]
+        if not len(free):
+            break
+        if p == n_parts - 1:
+            part[free] = p
+            break
+        # seed: a peripheral unassigned element (farthest from the previous
+        # region by a short BFS), falling back to the first free one
+        seed = int(free[0]) if part[seed] >= 0 else seed
+        grown = 0.0
+        frontier = [seed]
+        in_front = np.zeros(E, dtype=bool)
+        in_front[seed] = True
+        while frontier and grown < target:
+            e = frontier.pop(0)
+            if part[e] >= 0:
+                continue
+            part[e] = p
+            grown += w[e]
+            for nb in indices[indptr[e] : indptr[e + 1]]:
+                if part[nb] < 0 and not in_front[nb]:
+                    in_front[nb] = True
+                    frontier.append(int(nb))
+        nxt = np.nonzero(part < 0)[0]
+        if len(nxt):
+            seed = int(nxt[0])
+
+    # one FM-style boundary refinement sweep: move boundary elements to the
+    # neighbor part with the largest cut gain, within a 10% balance slack
+    part_w = np.array([w[part == p].sum() for p in range(n_parts)])
+    cap = 1.1 * fr * total_w
+    for e in range(E):
+        nbs = indices[indptr[e] : indptr[e + 1]]
+        if not len(nbs):
+            continue
+        pe = part[e]
+        nb_parts, counts = np.unique(part[nbs], return_counts=True)
+        if len(nb_parts) == 1 and nb_parts[0] == pe:
+            continue
+        own = counts[nb_parts == pe].sum()
+        order = np.argsort(-counts)
+        for oi in order:
+            q = int(nb_parts[oi])
+            if q == pe or counts[oi] <= own:
+                break
+            if part_w[q] + w[e] <= cap[q] and part_w[pe] - w[e] > 0:
+                part[e] = q
+                part_w[q] += w[e]
+                part_w[pe] -= w[e]
+                break
+    return part
 
 
 def partition_rcb(
@@ -58,17 +154,20 @@ def partition_rcb(
 
 
 def partition_mesh_elements(
-    mesh, n_parts: int, problem=None, part_fractions=None
+    mesh, n_parts: int, problem=None, part_fractions=None, method: str = "rcb"
 ) -> dict[int, np.ndarray]:
     """Part assignment for every block keyed by id(block).
 
-    Volume (top-dimensional) blocks are partitioned by RCB on centroids,
+    Volume (top-dimensional) blocks are partitioned globally by ``method``
+    ("rcb": coordinate bisection on centroids — compact parts on the
+    structured meshes the framework targets; "graph": greedy graph growing
+    over element connectivity — the METIS analog for unstructured imports),
     weighted by active dofs per element when a ProblemDefinition is given;
     boundary facet blocks follow their parent volume element.
     """
     parts: dict[int, np.ndarray] = {}
     vol_dim = mesh.dim
-    # gather all volume elements across blocks for one global RCB
+    # gather all volume elements across blocks for one global partition
     blocks = [
         (did, blk)
         for did, blk in mesh.blocks()
@@ -86,7 +185,13 @@ def partition_mesh_elements(
     if not cents:
         raise ValueError("mesh has no volume elements to partition")
     allc = np.concatenate(cents)
-    p = partition_rcb(allc, n_parts, np.concatenate(weights), part_fractions)
+    if method == "graph":
+        corners = np.concatenate([blk.corner_nodes for _, blk in blocks])
+        p = partition_graph(corners, n_parts, np.concatenate(weights), part_fractions)
+    elif method == "rcb":
+        p = partition_rcb(allc, n_parts, np.concatenate(weights), part_fractions)
+    else:
+        raise ValueError(f"unknown partition method {method!r} (rcb | graph)")
     off = 0
     for (did, blk), c in zip(blocks, cents):
         parts[id(blk)] = p[off : off + blk.n_elements]
