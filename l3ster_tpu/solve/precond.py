@@ -62,9 +62,16 @@ class Richardson:
 
 @dataclass(frozen=True)
 class Jacobi:
-    """Inverted thresholded diagonal (``NativePreconditioners.hpp`` NativeJacobi)."""
+    """Inverted thresholded diagonal (``NativePreconditioners.hpp`` NativeJacobi).
+
+    ``sweeps``/``damping`` mirror the Ifpack2 relaxation options
+    (``Ifpack2Preconditioners.hpp:68-96``): k damped Jacobi iterations on
+    M z = r (each extra sweep costs one operator apply).
+    """
 
     threshold: float = 1e-14
+    sweeps: int = 1
+    damping: float = 1.0
 
     def setup(self, system):
         apply, pc = self.setup_parts(system)
@@ -74,12 +81,24 @@ class Jacobi:
         """(apply(r, *consts), consts): the inverted diagonal travels as a jit
         argument so solvers never inline it into the compiled program."""
         d = system.diagonal()
-        inv = jnp.where(jnp.abs(d) > self.threshold, 1.0 / d, 1.0)
+        inv = jnp.where(jnp.abs(d) > self.threshold, self.damping / d, self.damping)
+        if self.sweeps <= 1:
 
-        def apply(r, inv):
-            return inv[..., None] * r if r.ndim == inv.ndim + 1 else inv * r
+            def apply(r, inv):
+                return inv[..., None] * r if r.ndim == inv.ndim + 1 else inv * r
 
-        return apply, (inv,)
+            return apply, (inv,)
+        fn, oconsts = system.operator_parts()
+        n_sweeps = self.sweeps
+
+        def apply(r, inv, *oc):
+            iv = inv[..., None] if r.ndim == inv.ndim + 1 else inv
+            z = iv * r
+            for _ in range(n_sweeps - 1):
+                z = z + iv * (r - fn(z, *oc))
+            return z
+
+        return apply, (inv, *oconsts)
 
 
 @dataclass(frozen=True)
@@ -230,7 +249,11 @@ class BlockJacobi:
 class SGS:
     """Symmetric Gauss-Seidel: M = (D+L) D^-1 (D+U) on the assembled CSR
     (``solve/Ifpack2Preconditioners.hpp:97``).  Triangular solves run
-    level-scheduled inside jit (see :mod:`l3ster_tpu.solve.tri`)."""
+    level-scheduled inside jit (see :mod:`l3ster_tpu.solve.tri`);
+    ``sweeps`` adds Ifpack2-style relaxation iterations (one operator apply
+    per extra sweep)."""
+
+    sweeps: int = 1
 
     def setup(self, system):
         apply, pc = self.setup_parts(system)
@@ -246,12 +269,28 @@ class SGS:
         bwd, cb = build_tri_solve(data, indices, indptr, n, lower=False, unit_diag=False, dtype=dtype)
         dvec = jnp.asarray(d, dtype)
         nf = len(cf)
+        n_tri = nf + len(cb)
+
+        def M(r, dvec, cs):
+            w = fwd(r, *cs[:nf])
+            return bwd(w * dvec[:, None], *cs[nf:n_tri])
+
+        if self.sweeps <= 1:
+
+            def apply(r, dvec, *cs):
+                return M(r, dvec, cs)
+
+            return apply, (dvec, *cf, *cb)
+        fn, oconsts = system.operator_parts()
+        n_sweeps = self.sweeps
 
         def apply(r, dvec, *cs):
-            w = fwd(r, *cs[:nf])
-            return bwd(w * dvec[:, None], *cs[nf:])
+            z = M(r, dvec, cs)
+            for _ in range(n_sweeps - 1):
+                z = z + M(r - fn(z, *cs[n_tri:]), dvec, cs)
+            return z
 
-        return apply, (dvec, *cf, *cb)
+        return apply, (dvec, *cf, *cb, *oconsts)
 
 
 @dataclass(frozen=True)

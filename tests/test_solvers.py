@@ -206,3 +206,21 @@ def test_solver_options_scaling_and_verbosity(capsys):
 
     with _pytest.raises(ValueError):
         lt.CG(lt.IterSolverOpts(residual_scaling="bogus")).solve(_spd_system()[0])
+
+
+def test_relaxation_sweep_options():
+    """Ifpack2-style multi-sweep damped relaxation (Ifpack2Preconditioners.hpp:68-96):
+    more sweeps must not hurt convergence, and all variants reach the answer."""
+    iters = {}
+    for name, pc in [
+        ("jacobi-1", lt.Jacobi()),
+        ("jacobi-3", lt.Jacobi(sweeps=3, damping=0.9)),
+        ("sgs-2", lt.SGS(sweeps=2)),
+    ]:
+        system, x_exact = _spd_system()
+        res = lt.CG(lt.IterSolverOpts(tol=1e-12, max_iters=4000), precond=pc).solve(system)
+        x = np.asarray(system.solution_vector())
+        assert np.abs(x - x_exact).max() / np.abs(x_exact).max() < 1e-7, name
+        iters[name] = res.num_iters
+    assert iters["jacobi-3"] <= iters["jacobi-1"]
+    assert iters["sgs-2"] > 0
