@@ -61,7 +61,7 @@ def _emit(metric, value, unit, **extra):
     print(json.dumps({"metric": metric, "value": round(value, 3), "unit": unit, **extra}), flush=True)
 
 
-def bench_apply_p_sweep(jnp, lt, jax, orders, n_1d=None, reps=30):
+def bench_apply_p_sweep(jnp, lt, jax, orders, n_1d=None, reps=100):
     for p in orders:
         # equal-work sweep: pick ne so every order runs ~the flagship's DOF
         # count (n1 = ne*p+1 ~ 37, ~200k dofs at 4 unknowns)

@@ -15,7 +15,7 @@ import sysconfig
 
 import numpy as np
 
-__all__ = ["available", "hash_join_rows", "unique_rows", "match_rows"]
+__all__ = ["available", "hash_join_rows", "unique_rows", "match_rows", "ilu0_factor_csr"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "src", "hostops.cpp")
@@ -63,6 +63,14 @@ def _load():
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        if hasattr(lib, "ilu0_factor_csr"):
+            lib.ilu0_factor_csr.restype = ctypes.c_int64
+            lib.ilu0_factor_csr.argtypes = [
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+            ]
         _lib = lib
     except OSError:
         _lib = False
@@ -130,3 +138,23 @@ def unique_rows(rows) -> tuple[np.ndarray, np.ndarray]:
 def match_rows(table, query) -> np.ndarray:
     """Alias of hash_join_rows (readability at call sites)."""
     return hash_join_rows(table, query)
+
+
+def ilu0_factor_csr(data, indices, indptr, n: int) -> np.ndarray | None:
+    """Native zero-fill ILU on the CSR's sparsity; factored values, or None
+    when the library is unavailable (callers fall back to the numpy loop).
+    Raises on zero pivots / missing diagonals like the numpy path."""
+    lib = _load()
+    if not lib or not hasattr(lib, "ilu0_factor_csr"):
+        return None
+    a = np.array(data, dtype=np.float64, copy=True)
+    idx = np.ascontiguousarray(indices, dtype=np.int64)
+    ptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    rc = lib.ilu0_factor_csr(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), _ptr(idx), _ptr(ptr), int(n)
+    )
+    if rc == np.iinfo(np.int64).min:
+        raise ValueError("ILU0 requires explicit diagonal entries")
+    if rc < 0:
+        raise ZeroDivisionError(f"ILU0 breakdown: zero pivot at row {-int(rc) - 1}")
+    return a

@@ -116,8 +116,15 @@ def ilu0_factor(data, indices, indptr, n: int):
     within each row must be sorted (true for our sparsity builders).
 
     Returns the factored value array: strictly-lower entries hold L (unit
-    diagonal implied), diagonal + upper hold U.
+    diagonal implied), diagonal + upper hold U.  Uses the native C++
+    factorization when available (the python row loop is O(nnz_lower) python
+    iterations — slow at production sizes).
     """
+    from ..native import ilu0_factor_csr
+
+    native = ilu0_factor_csr(data, indices, indptr, n)
+    if native is not None:
+        return native
     a = np.array(data, dtype=np.float64, copy=True)
     indices = np.asarray(indices, dtype=np.int64)
     indptr = np.asarray(indptr, dtype=np.int64)

@@ -143,3 +143,59 @@ def test_lattice_sf_rejects_unstructured():
         )
         system.end_assembly()
         system.operator()(jnp.zeros((system.n_dofs, 1)))
+
+
+@pytest.mark.parametrize("p,ne,qo", [(2, 3, 4), (3, 2, 8), (4, 2, 10), (6, 1, 12)])
+def test_fused_z_sweep_parity(p, ne, qo):
+    """The Pallas fused z-sweep (interpret mode) must reproduce the unfused
+    XLA chain exactly in f64 across orders, including RQ-padding cases."""
+    import jax.numpy as jnp
+
+    from l3ster_tpu.algsys.local import _qp_algebra_const
+    from l3ster_tpu.ops.lattice_sumfact import _tabs, lattice_interp, lattice_transpose
+    from l3ster_tpu.ops.pallas_zsweep import fused_z_sweep
+
+    q1 = qo // 2 + 1
+    n1 = (ne * p + 1,) * 3
+    nes = (ne,) * 3
+    C = 4
+    qsh = tuple(q1 * n for n in reversed(nes))
+    S, R, Q = qsh
+    EQ = S * R * Q
+    rng = np.random.default_rng(p)
+    dt = jnp.float64
+    tabs = _tabs(p, qo, nes, dt)
+    (NxT, DxT), (NyT, DyT), (NzT, DzT) = tabs
+    Ji = jnp.asarray(rng.normal(size=(3, 3, EQ)) * 0.1 + np.eye(3)[:, :, None], dt)
+    w = jnp.asarray(rng.uniform(0.5, 1.0, EQ), dt)
+    A = rng.normal(size=(4, 7, 4)) * (rng.uniform(size=(4, 7, 4)) > 0.5)
+    t = jnp.asarray(rng.normal(size=(C,) + tuple(reversed(n1))), dt)
+
+    v, ders = lattice_interp(t, tabs)
+    vals_l = [v[u].reshape(EQ) for u in range(C)]
+    rd = [[dd[u].reshape(EQ) for u in range(C)] for dd in ders]
+    t0, tr = _qp_algebra_const(A, Ji, w, vals_l, rd, 3, C, dt)
+    t0s = jnp.stack([x_.reshape(qsh) for x_ in t0])
+    tds = [jnp.stack([x_.reshape(qsh) for x_ in tr[j]]) for j in range(3)]
+    y_ref = lattice_transpose(t0s, tds, tabs)
+
+    n1z = t.shape[1]
+    ax = jnp.einsum("czyx,xQ->czyQ", t, NxT)
+    adx0 = jnp.einsum("czyx,xQ->czyQ", t, DxT)
+    b = jnp.einsum("czyQ,yR->zcRQ", ax, NyT).reshape(n1z, C, R * Q)
+    bdy = jnp.einsum("czyQ,yR->zcRQ", ax, DyT).reshape(n1z, C, R * Q)
+    bdx = jnp.einsum("czyQ,yR->zcRQ", adx0, NyT).reshape(n1z, C, R * Q)
+    a, ady, adx = fused_z_sweep(
+        A, b, bdy, bdx, Ji.reshape(9, S, R * Q), w.reshape(S, R * Q), NzT, DzT,
+        block=256, interpret=True,
+    )
+    a = a.reshape(n1z, C, R, Q)
+    ady = ady.reshape(n1z, C, R, Q)
+    adx = adx.reshape(n1z, C, R, Q)
+    a2 = jnp.einsum("zcRQ,yR->czyQ", a, NyT) + jnp.einsum("zcRQ,yR->czyQ", ady, DyT)
+    adx2 = jnp.einsum("zcRQ,yR->czyQ", adx, NyT)
+    y_fused = jnp.einsum("czyQ,xQ->czyx", a2, NxT) + jnp.einsum(
+        "czyQ,xQ->czyx", adx2, DxT
+    )
+    err = float(jnp.abs(y_fused - y_ref).max() / jnp.abs(y_ref).max())
+    assert err < 1e-12, err

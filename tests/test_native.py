@@ -31,3 +31,27 @@ def test_join_single_column():
     table = np.asarray([5, 3, 9, 1])
     q = np.asarray([9, 2, 5])
     assert np.array_equal(native.hash_join_rows(table, q), [2, -1, 0])
+
+
+def test_native_ilu0_parity():
+    """C++ ILU0 must bit-match the numpy reference loop on a random CSR."""
+    import scipy.sparse as sp
+
+    import l3ster_tpu.native as native
+    import l3ster_tpu.solve.tri as tri
+
+    rng = np.random.default_rng(0)
+    n = 300
+    A = sp.random(n, n, density=0.04, random_state=2)
+    A = (A + A.T + sp.eye(n) * 10).tocsr()
+    A.sort_indices()
+    nat = native.ilu0_factor_csr(A.data, A.indices, A.indptr, n)
+    if nat is None:
+        pytest.skip("native library unavailable")
+    orig = native.ilu0_factor_csr
+    native.ilu0_factor_csr = lambda *a: None
+    try:
+        ref = tri.ilu0_factor(A.data, A.indices, A.indptr, n)
+    finally:
+        native.ilu0_factor_csr = orig
+    assert np.abs(nat - ref).max() == 0.0
