@@ -40,6 +40,7 @@ from .mesh.generators import (
 )
 from .mesh.gmsh import read_gmsh
 from .mesh.traits import ElementType
+from .parallel.box import BoxSystem, box_parallelize
 from .parallel.distributed import DistributedSystem, make_distributed_system
 from .post.integral import compute_integral, compute_norm_l2
 from .post.native_io import Loader, load, save
