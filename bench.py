@@ -51,7 +51,11 @@ def main() -> None:
     enable_persistent_cache()
 
     order = 6
-    n_1d = 7  # 6^3 elements, as in benchmarks/Diffusion3D.hpp
+    import os
+
+    # 6^3 elements as in benchmarks/Diffusion3D.hpp; override for scale
+    # studies (e.g. L3STER_BENCH_N1D=13 -> 12^3 elements, 1.6M dofs)
+    n_1d = int(os.environ.get("L3STER_BENCH_N1D", "7"))
     mesh = lt.generate_mesh(lt.make_cube_mesh(np.linspace(0.0, 1.0, n_1d)), order=order)
     problem = lt.ProblemDefinition(4, [0])
     bcs = lt.BCDefinition(problem)

@@ -831,38 +831,73 @@ class MatrixFreeSystem(_SystemBase):
         self._contribs.append(c)
 
     def _end_impl(self) -> None:
-        # rhs and diagonal in one jitted pass (``MatrixFreeSystem.hpp:887-941``)
+        # rhs and diagonal in one jitted pass (``MatrixFreeSystem.hpp:887-941``);
+        # large field-free contributions run in element chunks so the padded
+        # (E, Q, ...) geometry intermediates never OOM HBM
+        import dataclasses
+
         from .local import local_diagonal_sumfact, local_rhs_sumfact
+
+        small, large = [], []
+        for c in self._contribs:
+            E = c.verts.shape[0]
+            chunk = int(max(1, (1 << 25) // max(c.tables.n_qp * 128, 1)))
+            if c.field_access is None and E > chunk:
+                large.append((c, chunk))
+            else:
+                small.append(c)
+
+        def one(c, geom, fv, fd, rhs, diag, idx, E_off=None):
+            use_sf = self._use_sumfact(c)
+            A, f = eval_equation_kernel(c.kernel, geom, fv, fd, c.time, self.dtype)
+            F = d = None
+            q_order = c.options.quadrature_order(c.tables.order)
+            if c.mode != "operator":
+                if use_sf:
+                    F = local_rhs_sumfact(A, geom, c.tables.order, q_order, c.tables.dim, f)
+                else:
+                    B = _basis_stack(c.tables, geom, self.dtype)
+                    F = local_rhs(A, B, geom.weights, f)
+                rhs = rhs.at[idx].add(F.reshape(-1, self.n_rhs))
+            if c.mode != "rhs":
+                if use_sf:
+                    d = local_diagonal_sumfact(A, geom, c.tables.order, q_order, c.tables.dim)
+                else:
+                    B = _basis_stack(c.tables, geom, self.dtype)
+                    d = local_diagonal(A, B, geom.weights)
+                diag = diag.at[idx].add(d.reshape(-1))
+            return rhs, diag
 
         def compute(rhs0):
             rhs = rhs0
             diag = jnp.zeros((self.n_dofs,), self.dtype)
-            for c in self._contribs:
+            for c in small:
                 use_sf = self._use_sumfact(c)
                 geom, fv, fd = _contribution_geometry(
                     c, self.dtype, with_phys_ders=not use_sf or c.field_access is not None
                 )
-                A, f = eval_equation_kernel(c.kernel, geom, fv, fd, c.time, self.dtype)
-                idx = jnp.asarray(c.elem_dofs.reshape(-1))
-                if c.mode != "operator":
-                    if use_sf:
-                        q_order = c.options.quadrature_order(c.tables.order)
-                        F = local_rhs_sumfact(A, geom, c.tables.order, q_order, c.tables.dim, f)
-                    else:
-                        B = _basis_stack(c.tables, geom, self.dtype)
-                        F = local_rhs(A, B, geom.weights, f)
-                    rhs = rhs.at[idx].add(F.reshape(-1, self.n_rhs))
-                if c.mode != "rhs":
-                    if use_sf:
-                        q_order = c.options.quadrature_order(c.tables.order)
-                        d = local_diagonal_sumfact(A, geom, c.tables.order, q_order, c.tables.dim)
-                    else:
-                        B = _basis_stack(c.tables, geom, self.dtype)
-                        d = local_diagonal(A, B, geom.weights)
-                    diag = diag.at[idx].add(d.reshape(-1))
+                rhs, diag = one(c, geom, fv, fd, rhs, diag, jnp.asarray(c.elem_dofs.reshape(-1)))
             return rhs, diag
 
-        self.rhs, self._diag = jax.jit(compute)(self.rhs)
+        rhs, diag = jax.jit(compute)(self.rhs)
+        for c, chunk in large:
+            use_sf = self._use_sumfact(c)
+
+            @jax.jit
+            def piece(rhs, diag, verts, idx, c=c, use_sf=use_sf):
+                sub = dataclasses.replace(c, verts=verts, field_access=None)
+                geom, fv, fd = _contribution_geometry(sub, self.dtype, with_phys_ders=not use_sf)
+                return one(c, geom, fv, fd, rhs, diag, idx)
+
+            E = c.verts.shape[0]
+            for s in range(0, E, chunk):
+                rhs, diag = piece(
+                    rhs,
+                    diag,
+                    jnp.asarray(c.verts[s : s + chunk], self.dtype),
+                    jnp.asarray(c.elem_dofs[s : s + chunk].reshape(-1)),
+                )
+        self.rhs, self._diag = rhs, diag
 
     def _use_sumfact(self, c: _Contribution) -> bool:
         from ..common.enums import LocalEvalStrategy
@@ -1063,12 +1098,23 @@ class MatrixFreeSystem(_SystemBase):
         use_lat = self._use_lattice_sf(c)
         use_dense = (not use_lat) and self._use_dense(c)
         use_sf = self._use_sumfact(c) and not (use_dense or use_lat)
-        geom, fv, fd = _contribution_geometry(
-            c,
-            dtype,
-            with_phys_ders=not (use_sf or use_dense or use_lat)
-            or c.field_access is not None,
+        lat_const = (
+            use_lat
+            and c.field_access is None
+            and _constant_kernel_operators(c.kernel, c.time) is not None
         )
+        if lat_const:
+            # large meshes: the (E, Q, 3, 3) geometry intermediates carry
+            # catastrophic lane padding (3 -> 128) on TPU; compute the packed
+            # (3, 3, EQ) tensors in element chunks so setup never OOMs HBM
+            geom = fv = fd = None
+        else:
+            geom, fv, fd = _contribution_geometry(
+                c,
+                dtype,
+                with_phys_ders=not (use_sf or use_dense or use_lat)
+                or c.field_access is not None,
+            )
         if use_lat:
             from ..ops.lattice_sumfact import lattice_qp_perm
 
@@ -1078,7 +1124,21 @@ class MatrixFreeSystem(_SystemBase):
             q_order = c.options.quadrature_order(c.tables.order)
             q1 = q_order // 2 + 1
             perm = jnp.asarray(lattice_qp_perm(ne, q1, inv))
-            Ji_t, w_t = _pack_geometry_only(geom, c.tables.dim)
+            if geom is None:
+                E = c.verts.shape[0]
+                Q = c.tables.n_qp
+                chunk = max(1, (1 << 22) // max(Q, 1))
+                parts = []
+                for s in range(0, E, chunk):
+                    g = element_geometry(
+                        c.tables, jnp.asarray(c.verts[s : s + chunk], dtype),
+                        with_phys_ders=False,
+                    )
+                    parts.append(_pack_geometry_only(g, c.tables.dim))
+                Ji_t = jnp.concatenate([p[0] for p in parts], axis=-1)
+                w_t = jnp.concatenate([p[1] for p in parts], axis=-1)
+            else:
+                Ji_t, w_t = _pack_geometry_only(geom, c.tables.dim)
             Ji_l, w_l = Ji_t[:, :, perm], w_t[perm]
             A_const = _constant_kernel_operators(c.kernel, c.time)
             if A_const is not None:

@@ -54,44 +54,47 @@ def _make_kernel(A: np.ndarray, c: int):
 
     def kernel(b_ref, bdy_ref, bdx_ref, ji_ref, w_ref, nz_ref, dz_ref,
                a_ref, ady_ref, adx_ref):
+        # Two phases, each looping channels so per-channel temporaries are
+        # reclaimed: only the n_eq `rw` accumulators stay live across the
+        # loop — this keeps the Mosaic scoped-VMEM stack ~(n_eq + O(1))·S·LB
+        # instead of ~(8c + 2·d1·c)·S·LB, fitting the 16MB VMEM at any mesh
+        # size the adaptive lane block allows.
         NzT = nz_ref[:]  # (n1z, S)
         DzT = dz_ref[:]
         w = w_ref[:]  # (S, LB)
         ji = [[ji_ref[j * 3 + i] for i in range(3)] for j in range(3)]  # (S, LB) each
-        v = [dot0(NzT, b_ref[:, u]) for u in range(c)]  # (S, LB) per channel
-        dz = [dot0(DzT, b_ref[:, u]) for u in range(c)]
-        dy = [dot0(NzT, bdy_ref[:, u]) for u in range(c)]
-        dx = [dot0(NzT, bdx_ref[:, u]) for u in range(c)]
-        rd = (dx, dy, dz)  # reference-axis derivatives 0,1,2
-        # physical derivatives: pders[i][u] = sum_j ji[j][i] * rd[j][u]
-        pders = [
-            [sum(ji[j][i] * rd[j][u] for j in range(3)) for u in range(c)]
-            for i in range(3)
-        ]
-        gp = [v] + pders
-
-        def dotA(i):
-            terms = [
-                float(A[d, i, u]) * gp[d][u]
-                for d in range(d1)
-                for u in range(c)
-                if A[d, i, u] != 0.0
-            ]
-            return sum(terms) if terms else jnp.zeros_like(w)
-
-        rw = [dotA(i) * w for i in range(n_eq)]
-
-        def dotAT(d, u):
-            terms = [float(A[d, i, u]) * rw[i] for i in range(n_eq) if A[d, i, u] != 0.0]
-            return sum(terms) if terms else jnp.zeros_like(w)
-
-        t = [[dotAT(d, u) for u in range(c)] for d in range(d1)]
+        rw = [jnp.zeros_like(w) for _ in range(n_eq)]
         for u in range(c):
-            # back to reference axes: tref[j][u] = sum_i ji[j][i] * t[1+i][u]
-            tx = sum(ji[0][i] * t[1 + i][u] for i in range(3))
-            ty = sum(ji[1][i] * t[1 + i][u] for i in range(3))
-            tz = sum(ji[2][i] * t[1 + i][u] for i in range(3))
-            a_ref[:, u] = dot1(NzT, t[0][u]) + dot1(DzT, tz)
+            bu = b_ref[:, u]
+            v = dot0(NzT, bu)  # (S, LB)
+            dz = dot0(DzT, bu)
+            dy = dot0(NzT, bdy_ref[:, u])
+            dx = dot0(NzT, bdx_ref[:, u])
+            rd = (dx, dy, dz)  # reference-axis derivatives 0,1,2
+            # physical derivatives: pders[i] = sum_j ji[j][i] * rd[j]
+            pders = [sum(ji[j][i] * rd[j] for j in range(3)) for i in range(3)]
+            gp_u = [v] + pders
+            for i in range(n_eq):
+                terms = [
+                    float(A[d, i, u]) * gp_u[d] for d in range(d1) if A[d, i, u] != 0.0
+                ]
+                if terms:
+                    rw[i] = rw[i] + sum(terms)
+        rw = [r * w for r in rw]
+        for u in range(c):
+
+            def dotAT(d):
+                terms = [
+                    float(A[d, i, u]) * rw[i] for i in range(n_eq) if A[d, i, u] != 0.0
+                ]
+                return sum(terms) if terms else jnp.zeros_like(w)
+
+            t = [dotAT(d) for d in range(d1)]
+            # back to reference axes: tref[j] = sum_i ji[j][i] * t[1+i]
+            tx = sum(ji[0][i] * t[1 + i] for i in range(3))
+            ty = sum(ji[1][i] * t[1 + i] for i in range(3))
+            tz = sum(ji[2][i] * t[1 + i] for i in range(3))
+            a_ref[:, u] = dot1(NzT, t[0]) + dot1(DzT, tz)
             ady_ref[:, u] = dot1(NzT, ty)
             adx_ref[:, u] = dot1(NzT, tx)
 
@@ -116,7 +119,11 @@ def fused_z_sweep(
     A = np.asarray(A_const, np.float64)
     n1z, c, RQ = b.shape
     S = NzT.shape[1]
-    LB = max(128, (min(block, RQ) // 128) * 128)
+    # VMEM-adaptive lane block: the kernel's scoped stack scales ~ S * LB
+    # (empirically ~42 f32 rows of S per lane at c=4); keep it under ~14MB of
+    # the 16MB VMEM so Mosaic always fits (larger meshes have larger S)
+    vmem_cap = max(128, (12_000_000 // (S * 168)) // 128 * 128)
+    LB = max(128, (min(block, vmem_cap, RQ) // 128) * 128)
     n_blocks = -(-RQ // LB)
     RQp = n_blocks * LB
 
