@@ -120,8 +120,8 @@ def fused_z_sweep(
     n1z, c, RQ = b.shape
     S = NzT.shape[1]
     # VMEM-adaptive lane block: the kernel's scoped stack scales ~ S * LB
-    # (empirically ~42 f32 rows of S per lane at c=4); keep it under ~14MB of
-    # the 16MB VMEM so Mosaic always fits (larger meshes have larger S)
+    # (empirically ~42 f32 rows of S per lane at c=4); budget ~12MB of the
+    # 16MB VMEM so Mosaic always fits (larger meshes have larger S = ne_z*q1)
     vmem_cap = max(128, (12_000_000 // (S * 168)) // 128 * 128)
     LB = max(128, (min(block, vmem_cap, RQ) // 128) * 128)
     n_blocks = -(-RQ // LB)
