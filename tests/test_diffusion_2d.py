@@ -155,3 +155,53 @@ def test_pure_weak_bc_problem():
     # solution is nontrivial and finite
     x = np.array(system.solution_vector())
     assert np.isfinite(x).all() and np.abs(x).max() > 1e-3
+
+
+def test_multi_rhs_pseudo_block():
+    """n_rhs=2 through the full system API: two Dirichlet data sets solved
+    simultaneously (pseudo-block CG), each reproducing its own exact solution
+    (the Belos Block CG multivector semantics)."""
+    mesh = lt.generate_mesh(lt.make_square_mesh(np.linspace(0.0, 1.0, 4)), order=3)
+    problem = lt.ProblemDefinition(3, [DOMAIN])
+    bcs = lt.BCDefinition(problem)
+    bcs.define_dirichlet([LEFT, RIGHT], [0])
+    system = lt.make_algebraic_system(
+        mesh, problem, bcs, lt.AlgebraicSystemParams(n_rhs=2)
+    )
+    kd = lt.wrap_domain_equation_kernel(
+        diffusion_kernel_2d,
+        lt.KernelParams(dimension=2, n_equations=4, n_unknowns=3, n_rhs=2),
+    )
+    kn = lt.wrap_boundary_equation_kernel(
+        adiabatic_bc, lt.KernelParams(dimension=2, n_equations=1, n_unknowns=3, n_rhs=2)
+    )
+    # Dirichlet data: column 0 -> T = x, column 1 -> T = 3x (array path)
+    nd = system.dofmap.node_dof
+    dof_node = np.full(system.n_dofs, -1, dtype=np.int64)
+    for k in range(nd.shape[1]):
+        has = nd[:, k] >= 0
+        dof_node[nd[has, k]] = np.nonzero(has)[0]
+    xb = np.asarray(mesh.node_coords)[dof_node[system.dirichlet_dofs], 0]
+    system.set_dirichlet_bc_values(np.stack([xb, 3.0 * xb], axis=1))
+    system.begin_assembly()
+    system.assemble_problem(kd, [DOMAIN], options=lt.AssemblyOptions(value_order=1, derivative_order=0))
+    system.assemble_problem(kn, [BOTTOM, TOP])
+    system.end_assembly()
+    res = system.solve(lt.CG(lt.IterSolverOpts(tol=1e-12, max_iters=3000), precond=lt.Jacobi()))
+    assert res.tol < 1e-10
+    for r, scale in ((0, 1.0), (1, 3.0)):
+        man = lt.SolutionManager(mesh, 3)
+        system.update_solution([0, 1, 2], man, [0, 1, 2], rhs_index=r)
+
+        def err(i, o, s=scale):
+            o[0] = i.field_vals[0] - s * i.point.x
+            o[1] = i.field_vals[1] - s
+            o[2] = i.field_vals[2]
+
+        ek = lt.wrap_domain_residual_kernel(
+            err, lt.KernelParams(dimension=2, n_equations=3, n_fields=3)
+        )
+        e = np.linalg.norm(
+            np.asarray(lt.compute_norm_l2(ek, mesh, [DOMAIN], man.field_access([0, 1, 2]))).ravel()
+        )
+        assert e < 1e-8, (r, e)
