@@ -208,14 +208,20 @@ def detect_face_plan(vol_plan, order: int, dim: int, side: int, elem_sel, ns, n_
 
 def face_gather(x: jnp.ndarray, fp: dict, order: int) -> jnp.ndarray:
     """x (n_rows, c) -> x_loc (E_face, n_surface_nodes, c): plane slice +
-    (dim-1)D window extraction, no gathers."""
+    (dim-1)D window extraction, no gathers.
+
+    Channel-LEADING internals: a (nz, ny, nx, c) view with c minor carries
+    ~32x lane padding on TPU (c=4 of 128 lanes), making plane slices cost
+    full-tensor-scale relayouts; (c, nz, ny, nx) keeps the minor dim a
+    lattice axis, and only the tiny extracted plane is re-transposed."""
     n1, axis = fp["n1"], fp["axis"]
     c = x.shape[-1]
     dim = len(n1)
-    t = x.reshape(tuple(reversed(n1)) + (c,))
-    pos = dim - 1 - axis  # axis position in the reversed (z, y, x) layout
+    t = x.T.reshape((c,) + tuple(reversed(n1)))
+    pos = 1 + (dim - 1 - axis)  # axis position in the (c, z, y, x) layout
     idx = n1[axis] - 1 if fp["hi"] else 0
-    plane = jax.lax.index_in_dim(t, idx, axis=pos, keepdims=False)
+    plane = jax.lax.index_in_dim(t, idx, axis=pos, keepdims=False)  # (c, ...)
+    plane = jnp.moveaxis(plane, 0, -1)
     return lattice_gather(plane.reshape(-1, c), fp["plan2d"], order)
 
 
@@ -228,12 +234,13 @@ def face_scatter_pad(y_loc: jnp.ndarray, fp: dict, order: int) -> jnp.ndarray:
     n12 = fp["plan2d"][0]
     plane = lattice_scatter_add(y_loc, fp["plan2d"], order)
     plane = plane.reshape(tuple(reversed(n12)) + (c,))
-    pos = dim - 1 - axis
+    plane = jnp.moveaxis(plane, -1, 0)  # (c, ...) — channel-leading full tensor
+    pos = 1 + (dim - 1 - axis)
     idx = n1[axis] - 1 if fp["hi"] else 0
-    full = jnp.zeros(tuple(reversed(n1)) + (c,), y_loc.dtype)
+    full = jnp.zeros((c,) + tuple(reversed(n1)), y_loc.dtype)
     key = tuple(slice(None) for _ in range(pos)) + (idx,)
     full = full.at[key].set(plane)
-    return full.reshape(-1, c)
+    return full.reshape(c, -1).T
 
 
 def lattice_scatter_add(y_loc: jnp.ndarray, plan, order: int) -> jnp.ndarray:
