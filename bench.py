@@ -93,20 +93,26 @@ def main() -> None:
     # while_loop runs the operator (per-call host->device dispatch through
     # the remote tunnel costs ~1.5ms and is not part of a solve).  The chain
     # rescales each iterate (data dependence; f32 stays bounded) and returns a
-    # scalar so the timed region includes full execution.
-    K = 100
+    # scalar so the timed region includes full execution.  The scalar readback
+    # itself costs ~29ms FIXED through the tunnel, so the per-apply time is
+    # the SLOPE between two chain lengths, not total/K.
+    def chain_total(K):
+        @jax.jit
+        def chained(x, *cs):
+            def body(i, v):
+                v = fn(v, *cs)
+                return v * (1.0 / jnp.maximum(jnp.sqrt(jnp.sum(v * v)), 1e-30))
+            return jnp.sum(jax.lax.fori_loop(0, K, body, x))
 
-    @jax.jit
-    def chained(x, *cs):
-        def body(i, v):
-            v = fn(v, *cs)
-            return v * (1.0 / jnp.maximum(jnp.sqrt(jnp.sum(v * v)), 1e-30))
-        return jnp.sum(jax.lax.fori_loop(0, K, body, x))
+        float(chained(x, *consts))
+        t0 = time.perf_counter()
+        float(chained(x, *consts))
+        t1 = time.perf_counter()
+        float(chained(x, *consts))
+        return min(t1 - t0, time.perf_counter() - t1)
 
-    float(chained(x, *consts))
-    t0 = time.perf_counter()
-    s = float(chained(x, *consts))
-    dt = (time.perf_counter() - t0) / K
+    K1, K2 = 100, 400
+    dt = (chain_total(K2) - chain_total(K1)) / (K2 - K1)
 
     from l3ster_tpu.quadrature.rules import get_quadrature
     from l3ster_tpu.mesh.traits import ElementType

@@ -261,6 +261,7 @@ class DistributedSystem(_SystemBase):
         self._diag = None
         self._data = None
         self._asm = None
+        self._gathered_csr = None
         self._cond_blocks = {}
         self._cond_YZ = {}
         self.rhs = jnp.zeros((self.n_shards, self.n_loc1, self.n_rhs), self.dtype)
@@ -915,6 +916,93 @@ class DistributedSystem(_SystemBase):
         self._diag = diag * self._free_local * self._owned_mask + (
             1.0 - self._free_local * self._owned_mask
         )
+
+    # -- assembled-matrix export (Schwarz preconditioners, direct solvers) ------
+
+    def gathered_csr(self):
+        """Host-side GLOBAL Dirichlet-eliminated CSR assembled from the
+        per-shard partial matrices (GLOBAL_ASSEMBLY mode only).
+
+        The distributed apply keeps rows partial (each shard's own element
+        contributions) and completes them with the ghost export; summing the
+        per-shard COO triplets over GLOBAL dof ids reproduces the fully
+        assembled Tpetra matrix.  Feeds the additive-Schwarz preconditioners
+        (``solve/Ifpack2Preconditioners.hpp:85-192`` under MPI) and the
+        distributed direct solvers (``solve/Amesos2Solvers.hpp:13-49``).
+        Returns ``(data, indices, indptr, n_dofs)``.
+        """
+        if self._data is None:
+            raise RuntimeError(
+                "gathered_csr requires GLOBAL_ASSEMBLY and a completed end_assembly"
+            )
+        if getattr(self, "_gathered_csr", None) is not None:
+            return self._gathered_csr
+        import scipy.sparse as sp
+
+        P = self.n_shards
+        rows = np.asarray(self._asm["rows"], dtype=np.int64)
+        cols = np.asarray(self._asm["cols"], dtype=np.int64)
+        data = np.asarray(self._data, dtype=np.float64)
+        coo_r, coo_c, coo_v = [], [], []
+        for p in range(P):
+            lg = np.concatenate([self._owned[p], self._ghost[p]])
+            keep = (rows[p] < len(lg)) & (cols[p] < len(lg))
+            coo_r.append(lg[rows[p][keep]])
+            coo_c.append(lg[cols[p][keep]])
+            coo_v.append(data[p][keep])
+        A = sp.coo_matrix(
+            (np.concatenate(coo_v), (np.concatenate(coo_r), np.concatenate(coo_c))),
+            shape=(self.n_dofs, self.n_dofs),
+        ).tocsr()
+        A.sum_duplicates()
+        A.sort_indices()
+        # Dirichlet elimination IN PLACE: zero rows/cols, unit diagonal
+        # (mirrors the single-device ``AssembledSystem.eliminated_csr``).
+        # No scipy sparse arithmetic here -- it prunes exact zeros, and
+        # shard-order roundoff makes A(i,j) exactly 0.0 while A(j,i) is 1e-17,
+        # which would leave an ASYMMETRIC pattern (breaking ILU0 symmetry and
+        # with it CG).  In-place edits keep the symmetric element pattern.
+        free = self._free_np
+        r_all = np.repeat(np.arange(self.n_dofs), np.diff(A.indptr))
+        A.data[~(free[r_all] & free[A.indices])] = 0.0
+        diag_sel = r_all == A.indices
+        diag_rows = r_all[diag_sel]
+        dvals = np.where(free[diag_rows], A.data[diag_sel], 1.0)
+        A.data[diag_sel] = dvals
+        self._gathered_csr = (A.data, A.indices, A.indptr, self.n_dofs)
+        return self._gathered_csr
+
+    def shard_blocks(self, overlap: int = 0):
+        """Per-shard local sub-blocks of the gathered matrix for additive
+        Schwarz: for each shard, the rows/cols restricted to its owned dofs
+        (``overlap=0``, symmetric — safe for CG) or owned+ghost dofs
+        (``overlap=1``, RAS).  Returns a list of ``(scipy_csr, n_real)`` in
+        LOCAL slot numbering (slot i = i-th entry of [owned | ghost]).
+        """
+        import scipy.sparse as sp
+
+        data, indices, indptr, n = self.gathered_csr()
+        A = sp.csr_matrix((data, indices, indptr), shape=(n, n))
+        out = []
+        for p in range(self.n_shards):
+            ids = (
+                self._owned[p]
+                if overlap == 0
+                else np.concatenate([self._owned[p], self._ghost[p]])
+            )
+            sub = A[ids][:, ids].tocsr()
+            sub.sort_indices()
+            out.append((sub, len(ids)))
+        return out
+
+    def effective_rhs_global(self) -> np.ndarray:
+        """Host (n_dofs, n_rhs) gather of the effective rhs (direct solvers)."""
+        b = np.asarray(self.effective_rhs())
+        bg = np.zeros((self.n_dofs, self.n_rhs))
+        for p in range(self.n_shards):
+            own = self._owned[p]
+            bg[own] = b[p, : len(own)]
+        return bg
 
     # -- solver-facing overrides -------------------------------------------------
 

@@ -36,6 +36,83 @@ def _assembled_csr(system, who: str):
     return csr()
 
 
+def _is_distributed(system) -> bool:
+    return getattr(system, "shard_blocks", None) is not None
+
+
+def _schwarz_csrs(system, who: str, overlap: int = 1):
+    """Per-shard LOCAL CSRs over the common [owned | ghost | dump] slot space
+    (n = n_loc1): each shard's sub-block of the gathered matrix, unit diagonal
+    on unused/dump slots.
+
+    ``overlap=1`` (default): blocks span [owned | ghost] — classical additive
+    Schwarz with one layer of overlap.  The apply is import (owner -> ghost) →
+    per-shard local solve → export (ghost -> owner sum) → owned mask, which is
+    SYMMETRIC (sum of R_p^T A_p^{-1} R_p), so it is CG-safe.  ``overlap=0``
+    drops all inter-shard coupling (block-Jacobi over shards; no comm).
+    """
+    try:
+        blocks = system.shard_blocks(overlap=overlap)
+    except RuntimeError as e:
+        raise ValueError(
+            f"{who} on a DistributedSystem needs "
+            "OperatorEvaluationStrategy.GLOBAL_ASSEMBLY (per-shard local "
+            "matrices are assembled from the gathered CSR)"
+        ) from e
+    n = system.n_loc1
+    out = []
+    for sub, n_real in blocks:
+        import numpy as np
+
+        nnz = sub.indptr[-1]
+        n_pad = n - n_real
+        data = np.concatenate([sub.data, np.ones(n_pad)])
+        indices = np.concatenate(
+            [sub.indices.astype(np.int64), np.arange(n_real, n, dtype=np.int64)]
+        )
+        indptr = np.concatenate(
+            [sub.indptr.astype(np.int64), nnz + 1 + np.arange(n_pad, dtype=np.int64)]
+        )
+        out.append((data, indices, indptr))
+    return out, n
+
+
+def _schwarz_wrap(system, local_apply, consts, overlap: int):
+    """Distributed preconditioner apply around a per-shard local solve.
+
+    overlap >= 1: shard_map'ed import -> local solve -> export -> owned mask
+    (one halo exchange each way per application, riding the system's existing
+    ring-offset ppermute pattern).  overlap == 0: no communication -- the
+    stacked local solves run as-is (sharded batch axis)."""
+    if overlap == 0:
+        return local_apply, consts
+    import jax as _jax
+    from jax.sharding import PartitionSpec as P
+
+    n_comm = 3 * system._n_neighbors
+    comm = system._comm_arrays()
+
+    def fn(r, owned_l, *rest):
+        r, owned_l = r[0], owned_l[0]
+        comm_args = [a[0] for a in rest[:n_comm]]
+        cs = tuple(rest[n_comm:])  # keep the (1, ...) shard slice: the local
+        # solve is the stacked (vmapped) apply run at batch size 1
+        rg = system._import(r, comm_args)
+        z = local_apply(rg[None], *cs)[0]
+        z = system._export(z, comm_args)
+        return (z * owned_l[:, None])[None]
+
+    n_args = 2 + n_comm + len(consts)
+    sharded = _jax.shard_map(
+        fn,
+        mesh=system.device_mesh,
+        in_specs=(P("shards"),) * n_args,
+        out_specs=P("shards"),
+    )
+    all_consts = (system._owned_mask, *comm, *consts)
+    return (lambda r, *cs: sharded(r, *cs)), all_consts
+
+
 @dataclass(frozen=True)
 class Identity:
     def setup(self, system):
@@ -251,29 +328,65 @@ class SGS:
     (``solve/Ifpack2Preconditioners.hpp:97``).  Triangular solves run
     level-scheduled inside jit (see :mod:`l3ster_tpu.solve.tri`);
     ``sweeps`` adds Ifpack2-style relaxation iterations (one operator apply
-    per extra sweep)."""
+    per extra sweep).  Distributed: per-shard local SGS (additive Schwarz
+    with ``overlap`` ghost layers)."""
 
     sweeps: int = 1
+    overlap: int = 1
 
     def setup(self, system):
         apply, pc = self.setup_parts(system)
         return lambda r: apply(r, *pc)
 
     def setup_parts(self, system):
-        from .tri import build_tri_solve
+        from .tri import build_tri_solve, build_tri_solve_stacked
 
-        data, indices, indptr, n = _assembled_csr(system, "SGS")
         d = system.diagonal()
         dtype = d.dtype
-        fwd, cf = build_tri_solve(data, indices, indptr, n, lower=True, unit_diag=False, dtype=dtype)
-        bwd, cb = build_tri_solve(data, indices, indptr, n, lower=False, unit_diag=False, dtype=dtype)
+        if _is_distributed(system):
+            # per-shard local SGS (additive Schwarz; Ifpack2 relaxation on
+            # each rank's local row matrix)
+            import numpy as np
+
+            csrs, n = _schwarz_csrs(system, "SGS", self.overlap)
+            fwd, cf = build_tri_solve_stacked(
+                csrs, n, lower=True, unit_diag=False, dtype=dtype
+            )
+            bwd, cb = build_tri_solve_stacked(
+                csrs, n, lower=False, unit_diag=False, dtype=dtype
+            )
+            dstk = np.ones((len(csrs), n))
+            for p, (dd, ii, pp) in enumerate(csrs):
+                rows = np.repeat(np.arange(n), np.diff(pp))
+                sel = rows == ii
+                dstk[p, rows[sel]] = dd[sel]
+            dvec_s = jnp.asarray(dstk, dtype)
+            nfd = len(cf)
+
+            def local(r, dvec_s, *cs):
+                w = fwd(r, *cs[:nfd])
+                return bwd(w * dvec_s[..., None], *cs[nfd:])
+
+            if self.sweeps > 1:
+                raise NotImplementedError(
+                    "SGS sweeps > 1 is single-device-only (distributed sweeps "
+                    "would need the operator inside the Schwarz shard_map)"
+                )
+            return _schwarz_wrap(system, local, (dvec_s, *cf, *cb), self.overlap)
+        data, indices, indptr, n = _assembled_csr(system, "SGS")
+        fwd, cf = build_tri_solve(
+            data, indices, indptr, n, lower=True, unit_diag=False, dtype=dtype
+        )
+        bwd, cb = build_tri_solve(
+            data, indices, indptr, n, lower=False, unit_diag=False, dtype=dtype
+        )
         dvec = jnp.asarray(d, dtype)
         nf = len(cf)
         n_tri = nf + len(cb)
 
         def M(r, dvec, cs):
             w = fwd(r, *cs[:nf])
-            return bwd(w * dvec[:, None], *cs[nf:n_tri])
+            return bwd(w * dvec[..., None], *cs[nf:n_tri])
 
         if self.sweeps <= 1:
 
@@ -298,23 +411,51 @@ class ILU0:
     """Zero-fill incomplete LU (``Ifpack2Preconditioners.hpp:148`` RILUK(0)).
 
     Host-side factorization on the eliminated CSR's own sparsity; the two
-    triangular solves run level-scheduled inside jit."""
+    triangular solves run level-scheduled inside jit.  On a distributed
+    system this becomes additive Schwarz with per-shard ILU0 local solves
+    (``overlap`` layers of ghost dofs; symmetric, CG-safe)."""
+
+    overlap: int = 1
 
     def setup(self, system):
         apply, pc = self.setup_parts(system)
         return lambda r: apply(r, *pc)
 
     def setup_parts(self, system):
-        from .tri import build_tri_solve, ilu0_factor
+        from .tri import build_tri_solve, build_tri_solve_stacked, ilu0_factor
 
-        data, indices, indptr, n = _assembled_csr(system, "ILU0")
         d = system.diagonal()
         dtype = d.dtype
         import numpy as np
 
+        if _is_distributed(system):
+            # additive Schwarz with per-shard ILU0 local solves — the
+            # Ifpack2-under-MPI semantics (``Ifpack2Preconditioners.hpp:148``
+            # on the local row matrix of each rank)
+            csrs, n = _schwarz_csrs(system, "ILU0", self.overlap)
+            facs = [
+                (ilu0_factor(dd, ii, pp, n), ii, pp) for dd, ii, pp in csrs
+            ]
+            fwd, cf = build_tri_solve_stacked(
+                facs, n, lower=True, unit_diag=True, dtype=dtype
+            )
+            bwd, cb = build_tri_solve_stacked(
+                facs, n, lower=False, unit_diag=False, dtype=dtype
+            )
+            nfd = len(cf)
+
+            def local(r, *cs):
+                return bwd(fwd(r, *cs[:nfd]), *cs[nfd:])
+
+            return _schwarz_wrap(system, local, (*cf, *cb), self.overlap)
+        data, indices, indptr, n = _assembled_csr(system, "ILU0")
         fac = ilu0_factor(np.asarray(data), indices, indptr, n)
-        fwd, cf = build_tri_solve(fac, indices, indptr, n, lower=True, unit_diag=True, dtype=dtype)
-        bwd, cb = build_tri_solve(fac, indices, indptr, n, lower=False, unit_diag=False, dtype=dtype)
+        fwd, cf = build_tri_solve(
+            fac, indices, indptr, n, lower=True, unit_diag=True, dtype=dtype
+        )
+        bwd, cb = build_tri_solve(
+            fac, indices, indptr, n, lower=False, unit_diag=False, dtype=dtype
+        )
         nf = len(cf)
 
         def apply(r, *cs):
@@ -335,6 +476,7 @@ class ILUT:
 
     drop_tol: float = 1e-4
     fill_factor: float = 10.0
+    overlap: int = 1
 
     def setup(self, system):
         apply, pc = self.setup_parts(system)
@@ -345,11 +487,37 @@ class ILUT:
         import scipy.sparse as sp
         import scipy.sparse.linalg as spla
 
-        from .tri import build_tri_solve
+        from .tri import build_tri_solve, build_tri_solve_stacked
 
-        data, indices, indptr, n = _assembled_csr(system, "ILUT")
         d = system.diagonal()
         dtype = d.dtype
+        if _is_distributed(system):
+            # per-shard local ILUT (SuperLU spilu on each Schwarz block)
+            csrs, n = _schwarz_csrs(system, "ILUT", self.overlap)
+            Ls, Us, prs, pcs = [], [], [], []
+            for dd, ii, pp in csrs:
+                A = sp.csr_matrix((dd, ii, pp), shape=(n, n)).tocsc()
+                ilu = spla.spilu(A, drop_tol=self.drop_tol, fill_factor=self.fill_factor)
+                L, U = ilu.L.tocsr(), ilu.U.tocsr()
+                Ls.append((L.data, L.indices, L.indptr))
+                Us.append((U.data, U.indices, U.indptr))
+                prs.append(np.asarray(ilu.perm_r))
+                pcs.append(np.asarray(ilu.perm_c))
+            fwd, cf = build_tri_solve_stacked(Ls, n, lower=True, unit_diag=True, dtype=dtype)
+            bwd, cb = build_tri_solve_stacked(Us, n, lower=False, unit_diag=False, dtype=dtype)
+            pr = jnp.asarray(np.stack(prs), jnp.int32)
+            pc_ = jnp.asarray(np.stack(pcs), jnp.int32)
+            nfd = len(cf)
+
+            def local(r, pr, pc_, *cs):
+                t = jnp.zeros_like(r)
+                t = jax.vmap(lambda tp, prp, rp: tp.at[prp].set(rp))(t, pr, r)
+                w = fwd(t, *cs[:nfd])
+                y = bwd(w, *cs[nfd:])
+                return jax.vmap(lambda yp, pcp: yp[pcp])(y, pc_)
+
+            return _schwarz_wrap(system, local, (pr, pc_, *cf, *cb), self.overlap)
+        data, indices, indptr, n = _assembled_csr(system, "ILUT")
         A = sp.csr_matrix(
             (np.asarray(data, dtype=np.float64), np.asarray(indices), np.asarray(indptr)),
             shape=(n, n),

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["build_tri_solve", "ilu0_factor"]
+__all__ = ["build_tri_solve", "build_tri_solve_stacked", "ilu0_factor"]
 
 
 def _levels(n: int, indptr: np.ndarray, indices: np.ndarray, lower: bool) -> np.ndarray:
@@ -31,12 +31,11 @@ def _levels(n: int, indptr: np.ndarray, indices: np.ndarray, lower: bool) -> np.
     return level
 
 
-def build_tri_solve(data, indices, indptr, n: int, lower: bool, unit_diag: bool, dtype):
-    """Build a traceable solver for T x = b, T = triangular part (+ diagonal)
-    of the given CSR.
+def _tri_consts_np(data, indices, indptr, n: int, lower: bool, unit_diag: bool):
+    """Host-side level-schedule index maps for one triangular solve.
 
-    Returns ``(apply, consts)`` with ``apply(b, *consts) -> x`` jit-safe;
-    ``b`` is (n, n_rhs).
+    Returns ``(ROWS, DINV, COLS, VALS, SEG, r_max, n_lv)`` numpy arrays with
+    the padding conventions documented in :func:`build_tri_solve`.
     """
     data = np.asarray(data, dtype=np.float64)
     indices = np.asarray(indices, dtype=np.int64)
@@ -84,7 +83,19 @@ def build_tri_solve(data, indices, indptr, n: int, lower: bool, unit_diag: bool,
         VALS[lv, k] = tri_vals[e]
         SEG[lv, k] = slot[tri_rows[e]]
         fill[lv] += 1
+    return ROWS, DINV, COLS, VALS, SEG, r_max, n_lv
 
+
+def build_tri_solve(data, indices, indptr, n: int, lower: bool, unit_diag: bool, dtype):
+    """Build a traceable solver for T x = b, T = triangular part (+ diagonal)
+    of the given CSR.
+
+    Returns ``(apply, consts)`` with ``apply(b, *consts) -> x`` jit-safe;
+    ``b`` is (n, n_rhs).
+    """
+    ROWS, DINV, COLS, VALS, SEG, r_max, n_lv = _tri_consts_np(
+        data, indices, indptr, n, lower, unit_diag
+    )
     consts = (
         jnp.asarray(ROWS, jnp.int32),
         jnp.asarray(DINV, dtype),
@@ -106,6 +117,66 @@ def build_tri_solve(data, indices, indptr, n: int, lower: bool, unit_diag: bool,
 
         x = jax.lax.fori_loop(0, n_lv, body, x)
         return x[:n]
+
+    return apply, consts
+
+
+def build_tri_solve_stacked(csrs, n: int, lower: bool, unit_diag: bool, dtype):
+    """Shard-stacked level-scheduled triangular solves (additive Schwarz).
+
+    ``csrs`` is a list of per-shard ``(data, indices, indptr)`` over a COMMON
+    local size ``n``; the per-shard level schedules are padded to common
+    shapes and stacked on a leading axis, so the traced program is identical
+    across shards (only index values differ) — it runs per-device under a
+    sharded ``vmap`` with no communication, the analog of Ifpack2's per-rank
+    local solves (``solve/Ifpack2Preconditioners.hpp:85-192``).
+
+    Returns ``(apply, consts)`` with ``apply(b, *consts) -> x`` for
+    ``b`` (P, n, n_rhs).
+    """
+    parts = [
+        _tri_consts_np(d, i, p, n, lower, unit_diag) for d, i, p in csrs
+    ]
+    NLV = max(pt[6] for pt in parts)
+    RMAX = max(pt[5] for pt in parts)
+    NMAX = max(pt[2].shape[1] for pt in parts)
+    P = len(parts)
+    ROWS = np.full((P, NLV, RMAX), n, dtype=np.int64)
+    DINV = np.ones((P, NLV, RMAX))
+    COLS = np.full((P, NLV, NMAX), n, dtype=np.int64)
+    VALS = np.zeros((P, NLV, NMAX))
+    SEG = np.full((P, NLV, NMAX), RMAX, dtype=np.int64)
+    for p, (R_, D_, C_, V_, S_, rm, nl) in enumerate(parts):
+        ROWS[p, :nl, :rm] = R_
+        DINV[p, :nl, :rm] = D_
+        COLS[p, :nl, : C_.shape[1]] = C_
+        VALS[p, :nl, : C_.shape[1]] = V_
+        SEG[p, :nl, : C_.shape[1]] = np.where(S_ == rm, RMAX, S_)
+    consts = (
+        jnp.asarray(ROWS, jnp.int32),
+        jnp.asarray(DINV, dtype),
+        jnp.asarray(COLS, jnp.int32),
+        jnp.asarray(VALS, dtype),
+        jnp.asarray(SEG, jnp.int32),
+    )
+
+    def single(b, ROWS, DINV, COLS, VALS, SEG):
+        # carry/padding derived from b (not fresh zeros) so the traced values
+        # stay "varying" under shard_map's manual-axes check
+        bb = jnp.pad(b, ((0, 1), (0, 0)))
+        x = bb * 0
+
+        def body(lv, x):
+            contrib = VALS[lv][:, None] * x[COLS[lv]]
+            s = jax.ops.segment_sum(contrib, SEG[lv], num_segments=RMAX + 1)[:RMAX]
+            xr = (bb[ROWS[lv]] - s) * DINV[lv][:, None]
+            return x.at[ROWS[lv]].set(xr)
+
+        x = jax.lax.fori_loop(0, NLV, body, x)
+        return x[:n]
+
+    def apply(b, ROWS, DINV, COLS, VALS, SEG):
+        return jax.vmap(single)(b, ROWS, DINV, COLS, VALS, SEG)
 
     return apply, consts
 

@@ -1,0 +1,173 @@
+"""Distributed strong preconditioners + distributed direct solves.
+
+The Ifpack2-under-MPI semantics (``solve/Ifpack2Preconditioners.hpp:85-192``,
+``tests/SolverTests.cpp:14-41`` — solver x preconditioner combos at 1/2/4
+ranks): each shard factors/relaxes its LOCAL block of the assembled matrix
+(additive Schwarz, overlap 0), and direct solvers work on the distributed
+matrix via a host gather (``solve/Amesos2Solvers.hpp:13-49``).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import l3ster_tpu as lt
+from l3ster_tpu.parallel.distributed import make_distributed_system
+
+
+def _diffusion(inp, out):
+    ops, rhs = out
+    A0, Ax, Ay = ops
+    Ax[0, 1] = -1.0
+    Ay[0, 2] = -1.0
+    A0[1, 1] = -1.0
+    Ax[1, 0] = 1.0
+    A0[2, 2] = -1.0
+    Ay[2, 0] = 1.0
+    Ax[3, 2] = 1.0
+    Ay[3, 1] = -1.0
+
+
+def _adiabatic(inp, out):
+    ops, _ = out
+    ops[0][0, 1] = inp.normal[0]
+    ops[0][0, 2] = inp.normal[1]
+
+
+def _assembled_system(n_shards, n=4, order=2):
+    mesh = lt.generate_mesh(lt.make_square_mesh(np.linspace(0.0, 1.0, n)), order=order)
+    problem = lt.ProblemDefinition(3, [0])
+    bcs = lt.BCDefinition(problem)
+    bcs.define_dirichlet([3, 4], [0])
+    system = make_distributed_system(
+        mesh, problem, bcs,
+        lt.AlgebraicSystemParams(eval_strategy=lt.OperatorEvaluationStrategy.GLOBAL_ASSEMBLY),
+        n_shards=n_shards,
+    )
+    kd = lt.wrap_domain_equation_kernel(
+        _diffusion, lt.KernelParams(dimension=2, n_equations=4, n_unknowns=3)
+    )
+    kn = lt.wrap_boundary_equation_kernel(
+        _adiabatic, lt.KernelParams(dimension=2, n_equations=1, n_unknowns=3)
+    )
+    kdir = lt.wrap_boundary_residual_kernel(
+        lambda i, o: o.__setitem__(0, i.point.x), lt.KernelParams(dimension=2, n_equations=1)
+    )
+    opts = lt.AssemblyOptions(value_order=1, derivative_order=0)
+    system.set_dirichlet_bc_values(kdir, [3, 4], [0])
+    system.begin_assembly()
+    system.assemble_problem(kd, [0], options=opts)
+    system.assemble_problem(kn, [1, 2])
+    system.end_assembly()
+    return mesh, system, opts
+
+
+def _check_solution(mesh, system, opts, tol=1e-8):
+    manager = lt.SolutionManager(mesh, 3)
+    system.update_solution([0, 1, 2], manager, [0, 1, 2])
+
+    def err(i, o):
+        o[0] = i.field_vals[0] - i.point.x
+        o[1] = i.field_vals[1] - 1.0
+        o[2] = i.field_vals[2]
+
+    ek = lt.wrap_domain_residual_kernel(
+        err, lt.KernelParams(dimension=2, n_equations=3, n_fields=3)
+    )
+    e = np.array(
+        lt.compute_norm_l2(ek, mesh, [0], manager.field_access([0, 1, 2]), options=opts)
+    ).ravel()
+    assert np.linalg.norm(e) < tol, np.linalg.norm(e)
+
+
+def test_gathered_csr_matches_single_device():
+    """The host-gathered distributed CSR must equal the single-device
+    eliminated CSR entry for entry."""
+    mesh, system, _ = _assembled_system(4)
+    data, indices, indptr, n = system.gathered_csr()
+    Ad = sp.csr_matrix((np.asarray(data), np.asarray(indices), np.asarray(indptr)), shape=(n, n))
+
+    # single-device reference
+    mesh1 = mesh
+    problem = lt.ProblemDefinition(3, [0])
+    bcs = lt.BCDefinition(problem)
+    bcs.define_dirichlet([3, 4], [0])
+    s1 = lt.make_algebraic_system(
+        mesh1, problem, bcs,
+        lt.AlgebraicSystemParams(eval_strategy=lt.OperatorEvaluationStrategy.GLOBAL_ASSEMBLY),
+    )
+    kd = lt.wrap_domain_equation_kernel(
+        _diffusion, lt.KernelParams(dimension=2, n_equations=4, n_unknowns=3)
+    )
+    kn = lt.wrap_boundary_equation_kernel(
+        _adiabatic, lt.KernelParams(dimension=2, n_equations=1, n_unknowns=3)
+    )
+    opts = lt.AssemblyOptions(value_order=1, derivative_order=0)
+    s1.begin_assembly()
+    s1.assemble_problem(kd, [0], options=opts)
+    s1.assemble_problem(kn, [1, 2])
+    s1.end_assembly()
+    d1, i1, p1, n1 = s1.eliminated_csr()
+    A1 = sp.csr_matrix((np.asarray(d1), np.asarray(i1), np.asarray(p1)), shape=(n1, n1))
+    assert n == n1
+    diff = abs(Ad - A1)
+    assert diff.nnz == 0 or diff.max() < 1e-10
+
+
+@pytest.mark.parametrize("n_shards", [4, 8])
+def test_distributed_cg_ilu0(n_shards):
+    """CG + per-shard ILU0 (overlap-1 additive Schwarz) converges to the
+    analytic solution in strictly fewer iterations than Jacobi.
+
+    Calibration on this problem (7x7 elements, p=2): Jacobi 178 iterations,
+    single-device ILU0 97; one-level Schwarz pays the usual no-coarse-grid
+    tax on top (134 at 4 shards, 158 at 8)."""
+    mesh, system, opts = _assembled_system(n_shards, n=8)
+    res_j = system.solve(
+        lt.CG(lt.IterSolverOpts(tol=1e-12, max_iters=3000), precond=lt.Jacobi())
+    )
+    it_jacobi = res_j.num_iters
+    system.set_solution_vector(system.x * 0)
+    res = system.solve(
+        lt.CG(lt.IterSolverOpts(tol=1e-12, max_iters=3000), precond=lt.ILU0())
+    )
+    assert res.tol < 1e-10
+    _check_solution(mesh, system, opts)
+    assert res.num_iters < it_jacobi, (res.num_iters, it_jacobi)
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_distributed_cg_sgs(n_shards):
+    mesh, system, opts = _assembled_system(n_shards)
+    res = system.solve(
+        lt.CG(lt.IterSolverOpts(tol=1e-12, max_iters=3000), precond=lt.SGS())
+    )
+    assert res.tol < 1e-10
+    _check_solution(mesh, system, opts)
+
+
+def test_distributed_gmres_ilut():
+    mesh, system, opts = _assembled_system(4)
+    res = system.solve(
+        lt.Gmres(
+            lt.IterSolverOpts(tol=1e-12, max_iters=600, restart=40), precond=lt.ILUT()
+        )
+    )
+    assert res.tol < 1e-10
+    _check_solution(mesh, system, opts)
+
+
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_distributed_klu2(n_shards):
+    """Distributed direct solve (gather-to-host SuperLU; Amesos2 analog)."""
+    mesh, system, opts = _assembled_system(n_shards)
+    res = system.solve(lt.Klu2())
+    assert res.tol < 1e-10
+    _check_solution(mesh, system, opts)
+
+
+def test_distributed_lapack():
+    mesh, system, opts = _assembled_system(2)
+    res = system.solve(lt.Lapack())
+    assert res.tol < 1e-8
+    _check_solution(mesh, system, opts)
