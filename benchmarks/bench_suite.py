@@ -81,23 +81,28 @@ def bench_apply_p_sweep(jnp, lt, jax, orders, n_1d=None, reps=100):
         system.end_assembly()
         fn, consts = system.operator_parts()
         # chained applies + host scalar readback: block_until_ready returns
-        # early through the remote-TPU tunnel, and per-dispatch timing is
-        # ~1.5ms tunnel latency that is not part of a solve
-        K = reps
-
-        @jax.jit
-        def chained(x, *cs):
-            def body(i, v):
-                v = fn(v, *cs)
-                return v * (1.0 / jnp.maximum(jnp.sqrt(jnp.sum(v * v)), 1e-30))
-
-            return jnp.sum(jax.lax.fori_loop(0, K, body, x))
-
+        # early through the remote-TPU tunnel, and the readback itself costs
+        # ~29ms FIXED per call — so time two chain lengths and use the slope
         x = jnp.ones((system.n_dofs, 1), jnp.float32)
-        float(chained(x, *consts))
-        t0 = time.perf_counter()
-        float(chained(x, *consts))
-        dt = (time.perf_counter() - t0) / K
+
+        def chain_total(K):
+            @jax.jit
+            def chained(x, *cs):
+                def body(i, v):
+                    v = fn(v, *cs)
+                    return v * (1.0 / jnp.maximum(jnp.sqrt(jnp.sum(v * v)), 1e-30))
+
+                return jnp.sum(jax.lax.fori_loop(0, K, body, x))
+
+            float(chained(x, *consts))
+            t0 = time.perf_counter()
+            float(chained(x, *consts))
+            t1 = time.perf_counter()
+            float(chained(x, *consts))
+            return min(t1 - t0, time.perf_counter() - t1)
+
+        K1, K2 = reps, 4 * reps
+        dt = (chain_total(K2) - chain_total(K1)) / (K2 - K1)
         q1 = lt.AssemblyOptions().quadrature_order(p) // 2 + 1
         gfl = _flops_apply_3d(p, (n_p - 1) ** 3, 4, 7, q1) / dt / 1e9
         _emit(
@@ -124,13 +129,18 @@ def bench_assembly_rate(jnp, lt, jax, order=4, n_1d=5, reps=10):
 
     f = jax.jit(assemble)
     verts = jnp.asarray(blk.vertices, jnp.float32)
-    K, F = f(verts)
-    float(jnp.sum(K))  # host readback forces completion (tunnel semantics)
-    t0 = time.perf_counter()
-    for _ in range(reps):
+
+    def total(n):
         K, F = f(verts)
-    float(jnp.sum(K))
-    dt = (time.perf_counter() - t0) / reps
+        float(jnp.sum(K))  # host readback forces completion (tunnel semantics)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            K, F = f(verts)
+        float(jnp.sum(K))
+        return time.perf_counter() - t0
+
+    # slope between two reps counts cancels the ~29ms fixed readback cost
+    dt = (total(4 * reps) - total(reps)) / (3 * reps)
     _emit(
         f"local LSFEM assembly p={order} (3D diffusion)", blk.n_elements / dt, "elements/s",
         batch=blk.n_elements, ms=round(dt * 1e3, 3),

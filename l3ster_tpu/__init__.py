@@ -49,6 +49,7 @@ from .post.vtk import ExportDefinition, PvtuExporter
 from .solve.direct import Klu2, Lapack
 from .solve.interface import IterSolveResult, IterSolverOpts
 from .solve.krylov import CG, Gmres
+from .solve.lowordermg import LowOrderMG
 from .solve.precond import (
     SGS,
     BlockJacobi,

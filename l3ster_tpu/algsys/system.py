@@ -63,7 +63,8 @@ class _Contribution:
     elem_sel: np.ndarray | None = None  # indices into the block (boundary views)
     mode: str = "both"  # "both" | "rhs" | "operator"
     dof_inds: tuple = ()
-    domain_id: int = -1
+    domain_id: int = -1  # volume domain (parent domain for boundary buckets)
+    boundary_id: int | None = None  # the boundary id the bucket came from
 
 
 class _SystemBase:
@@ -171,7 +172,7 @@ class _SystemBase:
             )
 
         for bucket in self._buckets(kernel, domain_ids, options):
-            tables, verts, nodes, block, sel, did = bucket
+            tables, verts, nodes, block, sel, did, bnd = bucket
             elem_dofs = self.dofmap.element_dofs(nodes, dof_inds)
             if not self._dofs_valid(elem_dofs, block):
                 raise ValueError(
@@ -191,6 +192,7 @@ class _SystemBase:
                     mode=mode,
                     dof_inds=dof_inds,
                     domain_id=did,
+                    boundary_id=bnd,
                 )
             )
 
@@ -219,7 +221,7 @@ class _SystemBase:
                     qo = options.quadrature_order(blk.order)
                     tab = side_tables(blk.element_type, blk.order, bv.side, qo)
                     sel = bv.element_indices
-                    yield tab, blk.vertices[sel], blk.nodes[sel], blk, sel, bv.parent_domain
+                    yield tab, blk.vertices[sel], blk.nodes[sel], blk, sel, bv.parent_domain, bid
                     found = True
             if not found:
                 raise ValueError(f"no boundary facets in domains {list(domain_ids)}")
@@ -235,7 +237,7 @@ class _SystemBase:
                     )
                 qo = options.quadrature_order(blk.order)
                 tab = domain_tables(blk.element_type, blk.order, qo)
-                yield tab, blk.vertices, blk.nodes, blk, None, did
+                yield tab, blk.vertices, blk.nodes, blk, None, did, None
 
     # -- Dirichlet values (``AssembledSystem.hpp:158-286`` analog) ------------
 
@@ -1142,7 +1144,29 @@ class MatrixFreeSystem(_SystemBase):
             Ji_l, w_l = Ji_t[:, :, perm], w_t[perm]
             A_const = _constant_kernel_operators(c.kernel, c.time)
             if A_const is not None:
-                c._op_data = ("lattice_sf_const", A_const, Ji_l, w_l)
+                # axis-aligned separable geometry (every generated box mesh):
+                # ship five per-axis vectors instead of the (3,3,EQ)+(EQ)
+                # tensors and run the diag fast path in the fused z-sweep
+                geom_d = None
+                import os as _os
+
+                if (
+                    c.tables.dim == 3
+                    and jax.default_backend() == "tpu"
+                    and _os.environ.get("L3STER_TPU_FUSED_Z", "1") not in ("0", "false")
+                    and _os.environ.get("L3STER_TPU_ZSWEEP", "v2") != "v1"
+                ):
+                    from ..ops.pallas_zsweep2 import detect_diag_geometry
+
+                    g = detect_diag_geometry(
+                        np.asarray(Ji_l), np.asarray(w_l), ne[2] * q1
+                    )
+                    if g is not None:
+                        geom_d = tuple(jnp.asarray(x, dtype) for x in g[1:])
+                if geom_d is not None:
+                    c._op_data = ("lattice_sf_const_diag", A_const) + geom_d
+                else:
+                    c._op_data = ("lattice_sf_const", A_const, Ji_l, w_l)
             else:
                 A, _ = eval_equation_kernel(c.kernel, geom, fv, fd, c.time, dtype)
                 E, Q = geom.weights.shape
@@ -1214,7 +1238,10 @@ class MatrixFreeSystem(_SystemBase):
         consts: list = []
         for c in contribs:
             d = self._operator_data(c)
-            if d[0] in ("sumfact_const", "pallas", "dense_const", "lattice_sf_const"):
+            if d[0] in (
+                "sumfact_const", "pallas", "dense_const", "lattice_sf_const",
+                "lattice_sf_const_diag",
+            ):
                 op = (d[0], len(consts), len(d) - 2, d[1])  # static A matrix
                 consts.extend(d[2:])
             else:
@@ -1259,13 +1286,18 @@ class MatrixFreeSystem(_SystemBase):
                 E, n_nodes, n_unk = c.elem_dofs.shape
                 if kind == "direct":
                     n_nodes = d[2].shape[-1]  # possibly node-restricted B
-                if kind in ("lattice_sf_const", "lattice_sf"):
+                if kind in ("lattice_sf_const", "lattice_sf", "lattice_sf_const_diag"):
                     from ..ops.lattice_sumfact import local_apply_lattice
 
                     plan = self._lattice_plan(c)
                     q_order = c.options.quadrature_order(c.tables.order)
+                    geom = None
                     if kind == "lattice_sf_const":
                         _, Ji_l, w_l = d
+                        A_c, A_t = static_A, None
+                    elif kind == "lattice_sf_const_diag":
+                        geom = ("diag",) + tuple(d[1:])
+                        Ji_l = w_l = None
                         A_c, A_t = static_A, None
                     else:
                         _, A_t, Ji_l, w_l = d
@@ -1274,6 +1306,7 @@ class MatrixFreeSystem(_SystemBase):
                         yr = local_apply_lattice(
                             A_c, A_t, Ji_l, w_l, c.tables.order, q_order,
                             plan[0], plan[1], x[:, r].reshape(n_rows, n_unk),
+                            geom=geom,
                         )
                         y = y.at[:, r].add(yr.reshape(-1))
                     continue

@@ -173,13 +173,14 @@ def lattice_transpose(t0: jnp.ndarray, td, tabs):
 def local_apply_lattice(
     A_const,  # (dim+1, n_eq, c) numpy for const kernels, or None
     A_t,  # (dim+1, n_eq, c, EQ) interleaved-order device tensor, or None
-    Ji_l: jnp.ndarray,  # (dim, dim, EQ) interleaved order
-    w_l: jnp.ndarray,  # (EQ,) interleaved order
+    Ji_l: jnp.ndarray,  # (dim, dim, EQ) interleaved order (None with geom)
+    w_l: jnp.ndarray,  # (EQ,) interleaved order (None with geom)
     order: int,
     q_order: int,
     n1: tuple,
     ne: tuple,
     x: jnp.ndarray,  # (n_rows, c) global lattice node rows
+    geom: tuple | None = None,  # ("diag", jx, jy, jz, wyx, wz) factorized geometry
 ) -> jnp.ndarray:
     """Full constrained-free local apply on the global lattice; (n_rows, c)."""
     import os
@@ -193,9 +194,8 @@ def local_apply_lattice(
     # single entry transpose to channel-leading; everything downstream keeps
     # lattice axes minor (lane-packed) so channel stacks are row views
     t = x.T.reshape((c,) + tuple(reversed(n1)))
-    EQ = w_l.shape[0]
     qsh = tuple(q1 * n for n in reversed(ne))
-    fused_z = (
+    fused_z = geom is not None or (
         A_const is not None
         and dim == 3
         and jax.default_backend() == "tpu"
@@ -203,10 +203,10 @@ def local_apply_lattice(
     )
     if fused_z:
         # x/y interp stages in XLA, then the fused Pallas z-sweep + per-QP
-        # algebra + z-transpose (ops/pallas_zsweep.py), then y/x transpose
+        # algebra + z-transpose (ops/pallas_zsweep2.py), then y/x transpose
         # stages in XLA.  Avoids materializing the four largest QP-space
         # tensors and the FMA-chain intermediates in HBM.
-        from .pallas_zsweep import fused_z_sweep
+        from .pallas_zsweep2 import fused_z_sweep_v2
 
         (NxT, DxT), (NyT, DyT), (NzT, DzT) = tabs
         ax = jnp.einsum("czyx,xQ->czyQ", t, NxT, precision=_PREC)
@@ -216,16 +216,28 @@ def local_apply_lattice(
         b = jnp.einsum("czyQ,yR->zcRQ", ax, NyT, precision=_PREC).reshape(n1z, c, R * Q)
         bdy = jnp.einsum("czyQ,yR->zcRQ", ax, DyT, precision=_PREC).reshape(n1z, c, R * Q)
         bdx = jnp.einsum("czyQ,yR->zcRQ", adx0, NyT, precision=_PREC).reshape(n1z, c, R * Q)
-        a, ady, adx = fused_z_sweep(
-            np.asarray(A_const),
-            b,
-            bdy,
-            bdx,
+        geom_t = geom if geom is not None else (
+            "full",
             Ji_l.reshape(dim * dim, S, R * Q),
             w_l.reshape(S, R * Q),
-            NzT,
-            DzT,
         )
+        if os.environ.get("L3STER_TPU_ZSWEEP", "v2") == "v1":
+            from .pallas_zsweep import fused_z_sweep
+
+            if geom is not None:
+                raise ValueError("v1 z-sweep has no factorized-geometry path")
+            a, ady, adx = fused_z_sweep(
+                np.asarray(A_const), b, bdy, bdx,
+                Ji_l.reshape(dim * dim, S, R * Q), w_l.reshape(S, R * Q),
+                NzT, DzT,
+            )
+        else:
+            Ngz, Dgz = banded_tables(order, q_order, ne[2])  # host numpy
+            a, ady, adx = fused_z_sweep_v2(
+                np.asarray(A_const), b, bdy, bdx, geom_t, NzT, DzT,
+                interpret=jax.default_backend() == "cpu",
+                host_tables=(Ngz.T, Dgz.T),
+            )
         a = a.reshape(n1z, c, R, Q)
         ady = ady.reshape(n1z, c, R, Q)
         adx = adx.reshape(n1z, c, R, Q)
@@ -237,6 +249,7 @@ def local_apply_lattice(
             "czyQ,xQ->czyx", adx2, DxT, precision=_PREC
         )
         return y.reshape(c, -1).T.reshape(x.shape)
+    EQ = w_l.shape[0]
     v, ders = lattice_interp(t, tabs)
     # opt-in only: measured 1.188 (Pallas) vs 1.114 ms (XLA chains) per apply
     # at the p=6 flagship — XLA fuses the c-leading row-sliced FMA chains well

@@ -1,0 +1,334 @@
+"""Low-order-rediscretized geometric multigrid preconditioner (TPU-native).
+
+The reference caps matrix-free solves at Jacobi/Chebyshev (its strong
+preconditioners — RILUK et al., ``solve/Ifpack2Preconditioners.hpp:85-192``
+— need the assembled matrix).  This module is the TPU-native answer for the
+matrix-free/lattice fast path: precondition the order-p LSFEM normal
+equations with the SAME least-squares kernel rediscretized at p=1 on the GLL
+node lattice (the classical FEM-SEM spectral-equivalence trick), and solve
+the low-order system approximately with a geometric V-cycle:
+
+- every level is a full l3ster system (order-1 elements on a sub-lattice of
+  the GLL nodes) assembled by REPLAYING the fine system's kernel
+  contributions, so the hierarchy picks up the lattice fast path (fused
+  Pallas z-sweep, diagonal-geometry kernels) automatically;
+- transfer operators are 1D linear-interpolation bands tensor-produced over
+  the lattice axes (three small matmuls per application — MXU food);
+- smoothing is diagonally-scaled Chebyshev (lambda_max by power iteration at
+  setup), the coarsest level is a precomputed dense inverse (host-side
+  factorization; no LU runs on device).
+
+Works for systems whose volume discretization lives on a structured lattice
+with lattice node numbering (every ``generate_mesh(make_cube/square_mesh)``
+product) and whose boundary ids follow the generator defaults.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["LowOrderMG"]
+
+
+def _axis_coords(mesh):
+    """Per-axis sorted coordinates of a lattice mesh + lex-order check."""
+    nc = np.asarray(mesh.node_coords)
+    dim = mesh.dim
+    axes = []
+    for a in range(dim):
+        axes.append(np.unique(np.round(nc[:, a], 12)))
+    if int(np.prod([len(a) for a in axes])) != mesh.n_nodes:
+        return None
+    # verify lex (x fastest) numbering
+    grids = np.meshgrid(*reversed(axes), indexing="ij")  # (z, y, x) order
+    rec = np.stack([g.reshape(-1) for g in reversed(grids)], axis=1)
+    if not np.allclose(rec, nc[:, :dim], atol=1e-10):
+        return None
+    return axes
+
+
+def _coarsen(idx: np.ndarray) -> np.ndarray:
+    """Every-2nd-node coarsening keeping both endpoints."""
+    n = len(idx)
+    keep = list(range(0, n, 2))
+    if keep[-1] != n - 1:
+        keep.append(n - 1)
+    return idx[np.asarray(keep)]
+
+
+def _interp_1d(fine: np.ndarray, coarse: np.ndarray) -> np.ndarray:
+    """P (n_fine, n_coarse): piecewise-linear interpolation weights."""
+    nf, ncr = len(fine), len(coarse)
+    P = np.zeros((nf, ncr))
+    seg = np.clip(np.searchsorted(coarse, fine, side="right") - 1, 0, ncr - 2)
+    x0, x1 = coarse[seg], coarse[seg + 1]
+    t = np.where(x1 > x0, (fine - x0) / np.where(x1 > x0, x1 - x0, 1.0), 0.0)
+    P[np.arange(nf), seg] = 1.0 - t
+    P[np.arange(nf), seg + 1] = t
+    return P
+
+
+def _build_p1_system(system, axes, dtype):
+    """Assemble the fine problem's kernels at order 1 on the given lattice."""
+    import l3ster_tpu as lt
+
+    dim = system.mesh.dim
+    if dim == 3:
+        base = lt.make_cube_mesh(axes[0], axes[1], axes[2])
+    elif dim == 2:
+        base = lt.make_square_mesh(axes[0], axes[1])
+    else:
+        raise ValueError("LowOrderMG supports 2D/3D lattice meshes")
+    mesh1 = lt.generate_mesh(base, order=1)
+    from ..common.enums import OperatorEvaluationStrategy
+    from ..common.problem import AlgebraicSystemParams
+
+    params = AlgebraicSystemParams(
+        eval_strategy=OperatorEvaluationStrategy.MATRIX_FREE, n_rhs=1
+    )
+    s1 = lt.make_algebraic_system(mesh1, system.problem, system.bc_def, params, dtype=dtype)
+    missing = [
+        rid
+        for c in system._contribs
+        for rid in [c.boundary_id if c.boundary_id is not None else c.domain_id]
+        if rid not in s1.mesh.domains
+    ]
+    if missing:
+        raise ValueError(
+            f"LowOrderMG: fine-system domain ids {sorted(set(missing))} not present "
+            "on the generated low-order mesh (custom boundary ids are unsupported)"
+        )
+    s1.begin_assembly()
+    for c in system._contribs:
+        if c.mode == "rhs":
+            continue
+        fa = c.field_access[0] if c.field_access is not None else None
+        rid = c.boundary_id if c.boundary_id is not None else c.domain_id
+        s1.assemble_problem(
+            c.kernel, [rid], field_access=fa, dof_inds=c.dof_inds,
+            time=c.time, mode="operator",
+        )
+    s1.end_assembly()
+    return s1
+
+
+def _assembled_dense_inv(system, axes, dtype):
+    """Coarsest level: dense inverse of the eliminated p1 matrix (host)."""
+    import l3ster_tpu as lt
+
+    dim = system.mesh.dim
+    if dim == 3:
+        base = lt.make_cube_mesh(axes[0], axes[1], axes[2])
+    else:
+        base = lt.make_square_mesh(axes[0], axes[1])
+    mesh1 = lt.generate_mesh(base, order=1)
+    from ..common.enums import OperatorEvaluationStrategy
+    from ..common.problem import AlgebraicSystemParams
+
+    params = AlgebraicSystemParams(
+        eval_strategy=OperatorEvaluationStrategy.GLOBAL_ASSEMBLY, n_rhs=1
+    )
+    s1 = lt.make_algebraic_system(mesh1, system.problem, system.bc_def, params, dtype=dtype)
+    s1.begin_assembly()
+    for c in system._contribs:
+        if c.mode == "rhs":
+            continue
+        fa = c.field_access[0] if c.field_access is not None else None
+        rid = c.boundary_id if c.boundary_id is not None else c.domain_id
+        s1.assemble_problem(
+            c.kernel, [rid], field_access=fa, dof_inds=c.dof_inds,
+            time=c.time, mode="operator",
+        )
+    s1.end_assembly()
+    data, indices, indptr, n = s1.eliminated_csr()
+    dense = np.zeros((n, n))
+    rows = np.repeat(np.arange(n), np.diff(np.asarray(indptr)))
+    dense[rows, np.asarray(indices)] = np.asarray(data)
+    return np.linalg.inv(dense)
+
+
+@dataclass(frozen=True)
+class LowOrderMG:
+    """p->1 rediscretization + geometric V-cycle preconditioner.
+
+    ``n_levels`` counts lattice levels including the fine GLL lattice
+    (level 0 is order-1 elements on ALL GLL nodes); the coarsest level is a
+    dense inverse.  ``smooth_degree`` is the Chebyshev smoothing degree per
+    pre/post sweep; ``cycles`` stacks V-cycles per application.
+    """
+
+    n_levels: int = 3
+    smooth_degree: int = 2
+    cycles: int = 1
+    coarse_max_dofs: int = 4000
+    eig_ratio: float = 8.0
+
+    def setup(self, system):
+        apply, pc = self.setup_parts(system)
+        return lambda r: apply(r, *pc)
+
+    def setup_parts(self, system):
+        axes = _axis_coords(system.mesh)
+        if axes is None:
+            raise ValueError(
+                "LowOrderMG requires a structured lattice mesh with lex node numbering"
+            )
+        dtype = system.dtype
+        dim = system.mesh.dim
+        n_unk = system.n_dofs // system.mesh.n_nodes
+        if n_unk * system.mesh.n_nodes != system.n_dofs:
+            raise ValueError("LowOrderMG requires uniform dofs per node")
+
+        # lattice hierarchy (axis index subsets)
+        level_axes = [axes]
+        while len(level_axes) < self.n_levels:
+            cand = [_coarsen(a) for a in level_axes[-1]]
+            ndofs = int(np.prod([len(a) for a in cand])) * n_unk
+            level_axes.append(cand)
+            if ndofs <= self.coarse_max_dofs:
+                break
+        # coarsen further until the dense inverse is affordable
+        while int(np.prod([len(a) for a in level_axes[-1]])) * n_unk > self.coarse_max_dofs:
+            if all(len(a) <= 2 for a in level_axes[-1]):
+                break
+            level_axes.append([_coarsen(a) for a in level_axes[-1]])
+
+        # per-level operators (all but the coarsest) with Chebyshev params.
+        # EVERY level is an order-1 rediscretization (level 0 = p1 elements on
+        # the full GLL lattice); the fine order-p operator is never applied
+        # inside the preconditioner — CG already applies it once per
+        # iteration, and A_1 is spectrally equivalent (FEM-SEM).
+        levels = []
+        consts: list = []
+        for li, ax in enumerate(level_axes[:-1]):
+            s_l = _build_p1_system(system, ax, dtype)
+            fn, oc = s_l.operator_parts()
+            d_l = s_l.diagonal()
+            dinv = jnp.where(jnp.abs(d_l) > 1e-14, 1.0 / d_l, 1.0)
+            # lambda_max of D^-1 A by power iteration (setup-time, on device)
+            key = jax.random.PRNGKey(li)
+            v = jax.random.normal(key, (s_l.n_dofs, 1), dtype=dtype)
+
+            @jax.jit
+            def power(v, dinv, *ocs):
+                def step(_, v):
+                    w = dinv[:, None] * fn(v, *ocs)
+                    return w / jnp.linalg.norm(w)
+
+                v = jax.lax.fori_loop(0, 15, step, v)
+                w = dinv[:, None] * fn(v, *ocs)
+                return jnp.vdot(v, w) / jnp.vdot(v, v)
+
+            lam = float(power(v, dinv, *oc)) * 1.05
+            free_l = s_l.free_mask
+            levels.append(
+                dict(
+                    fn=fn, off=len(consts), n_oc=len(oc),
+                    lam_max=lam, n_dofs=s_l.n_dofs,
+                )
+            )
+            consts.extend(oc)
+            levels[-1]["dinv_pos"] = len(consts)
+            consts.append(dinv)
+            consts.append(free_l)
+            # transfer to the next level: per-axis linear interpolation bands
+            Ps = [
+                jnp.asarray(_interp_1d(fa, ca), dtype)
+                for fa, ca in zip(ax, level_axes[li + 1])
+            ]
+            levels[-1]["P_pos"] = len(consts)
+            consts.extend(Ps)
+
+        Binv = _assembled_dense_inv(system, level_axes[-1], dtype)
+        coarse_pos = len(consts)
+        consts.append(jnp.asarray(Binv, dtype))
+        smooth_degree = self.smooth_degree
+        cycles = self.cycles
+        eig_ratio = self.eig_ratio
+        n_levels = len(levels)
+
+        def cheb(fn_l, r, z0, dinv, lam_max, ocs):
+            """Chebyshev iteration on D^-1 A, degree ``smooth_degree``,
+            starting from z0 (standard smoothing recurrence)."""
+            lmax = lam_max
+            lmin = lmax / eig_ratio
+            theta = 0.5 * (lmax + lmin)
+            delta = 0.5 * (lmax - lmin)
+            z = z0
+            resid = dinv[:, None] * (r - fn_l(z, *ocs))
+            p = resid / theta
+            z = z + p
+            rho = delta / theta
+            for _ in range(smooth_degree - 1):
+                rho_new = 1.0 / (2.0 * theta / delta - rho)
+                resid = dinv[:, None] * (r - fn_l(z, *ocs))
+                p = rho_new * (2.0 / delta * resid + rho * p)
+                z = z + p
+                rho = rho_new
+            return z
+
+        def restrict(x, Ps, n_unk):
+            # x (n_f, m) -> coarse via P^T per axis, channel-leading tensors
+            shp_f = tuple(P.shape[0] for P in reversed(Ps))  # (z, y, x)
+            m = x.shape[1]
+            t = x.reshape(shp_f + (n_unk * m,))
+            t = jnp.moveaxis(t, -1, 0)  # (c*m, z, y, x)
+            if len(Ps) == 3:
+                t = jnp.einsum("czyx,xX->czyX", t, Ps[0])
+                t = jnp.einsum("czyX,yY->czYX", t, Ps[1])
+                t = jnp.einsum("czYX,zZ->cZYX", t, Ps[2])
+            else:
+                t = jnp.einsum("cyx,xX->cyX", t, Ps[0])
+                t = jnp.einsum("cyX,yY->cYX", t, Ps[1])
+            t = jnp.moveaxis(t, 0, -1)
+            return t.reshape(-1, m)
+
+        def prolong(x, Ps, n_unk):
+            shp_c = tuple(P.shape[1] for P in reversed(Ps))
+            m = x.shape[1]
+            t = x.reshape(shp_c + (n_unk * m,))
+            t = jnp.moveaxis(t, -1, 0)
+            if len(Ps) == 3:
+                t = jnp.einsum("cZYX,zZ->czYX", t, Ps[2])
+                t = jnp.einsum("czYX,yY->czyX", t, Ps[1])
+                t = jnp.einsum("czyX,xX->czyx", t, Ps[0])
+            else:
+                t = jnp.einsum("cYX,yY->cyX", t, Ps[1])
+                t = jnp.einsum("cyX,xX->cyx", t, Ps[0])
+            t = jnp.moveaxis(t, 0, -1)
+            return t.reshape(-1, m)
+
+        def apply(r, *cs):
+            if n_levels == 0:  # degenerate: exact dense low-order inverse
+                return cs[coarse_pos] @ r
+
+            def vcycle(r_l, li):
+                lv = levels[li]
+                ocs = cs[lv["off"] : lv["off"] + lv["n_oc"]]
+                dinv = cs[lv["dinv_pos"]]
+                free_l = cs[lv["dinv_pos"] + 1]
+                Ps = cs[lv["P_pos"] : lv["P_pos"] + dim]
+                z = cheb(lv["fn"], r_l, jnp.zeros_like(r_l), dinv, lv["lam_max"], ocs)
+                rc = r_l - lv["fn"](z, *ocs)
+                rc = restrict(rc * free_l[:, None], Ps, n_unk)
+                if li + 1 < n_levels:
+                    nxt = levels[li + 1]
+                    rc = rc * cs[nxt["dinv_pos"] + 1][:, None]
+                    zc = vcycle(rc, li + 1)
+                else:
+                    Binv_c = cs[coarse_pos]
+                    zc = Binv_c @ rc
+                z = z + prolong(zc, Ps, n_unk) * free_l[:, None]
+                z = cheb(lv["fn"], r_l, z, dinv, lv["lam_max"], ocs)
+                return z
+
+            z = vcycle(r, 0)
+            for _ in range(cycles - 1):
+                z = z + vcycle(r - levels[0]["fn"](z, *cs[: levels[0]["n_oc"]]), 0)
+            return z
+
+        return apply, tuple(consts)

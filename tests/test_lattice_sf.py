@@ -199,3 +199,60 @@ def test_fused_z_sweep_parity(p, ne, qo):
     )
     err = float(jnp.abs(y_fused - y_ref).max() / jnp.abs(y_ref).max())
     assert err < 1e-12, err
+
+
+@pytest.mark.parametrize("p,ne,qo", [(2, 3, 4), (4, 2, 10), (6, 1, 12)])
+def test_fused_z_sweep_v2_parity(p, ne, qo):
+    """The lane-packed v2 kernel (interpret mode) must match v1 exactly in
+    f64, in both full-Jacobian and factorized diagonal-geometry modes."""
+    import jax.numpy as jnp
+
+    from l3ster_tpu.ops.lattice_sumfact import _tabs
+    from l3ster_tpu.ops.pallas_zsweep import fused_z_sweep
+    from l3ster_tpu.ops.pallas_zsweep2 import detect_diag_geometry, fused_z_sweep_v2
+
+    q1 = qo // 2 + 1
+    nes = (ne,) * 3
+    C = 4
+    S = R = Q = ne * q1
+    EQ = S * R * Q
+    rng = np.random.default_rng(p)
+    dt = jnp.float64
+    tabs = _tabs(p, qo, nes, dt)
+    _, _, (NzT, DzT) = tabs
+    A = rng.normal(size=(4, 7, 4)) * (rng.uniform(size=(4, 7, 4)) > 0.5)
+    n1z = ne * p + 1
+    b = jnp.asarray(rng.normal(size=(n1z, C, R * Q)), dt)
+    bdy = jnp.asarray(rng.normal(size=(n1z, C, R * Q)), dt)
+    bdx = jnp.asarray(rng.normal(size=(n1z, C, R * Q)), dt)
+    # full geometry
+    Ji = jnp.asarray(rng.normal(size=(3, 3, EQ)) * 0.1 + np.eye(3)[:, :, None], dt)
+    w = jnp.asarray(rng.uniform(0.5, 1.0, EQ), dt)
+    r1 = fused_z_sweep(
+        A, b, bdy, bdx, Ji.reshape(9, S, R * Q), w.reshape(S, R * Q), NzT, DzT,
+        block=256, interpret=True,
+    )
+    r2 = fused_z_sweep_v2(
+        A, b, bdy, bdx, ("full", Ji.reshape(9, S, R * Q), w.reshape(S, R * Q)),
+        NzT, DzT, block=256, interpret=True,
+    )
+    for x1, x2 in zip(r1, r2):
+        assert float(jnp.abs(x1 - x2).max()) < 1e-11
+    # separable diagonal geometry (axis-aligned box meshes)
+    jxv = rng.uniform(0.5, 1.5, (1, R * Q))
+    jyv = rng.uniform(0.5, 1.5, (1, R * Q))
+    jzv = rng.uniform(0.5, 1.5, (S, 1))
+    Jd = np.zeros((3, 3, S, R * Q))
+    Jd[0, 0], Jd[1, 1], Jd[2, 2] = jxv, jyv, jzv
+    wd = rng.uniform(0.5, 1.0, (S, 1)) * rng.uniform(0.5, 1.0, (1, R * Q))
+    g = detect_diag_geometry(Jd.reshape(3, 3, EQ), wd.reshape(EQ), S)
+    assert g is not None and g[0] == "diag"
+    r1 = fused_z_sweep(
+        A, b, bdy, bdx, jnp.asarray(Jd.reshape(9, S, R * Q), dt), jnp.asarray(wd, dt),
+        NzT, DzT, block=256, interpret=True,
+    )
+    r2 = fused_z_sweep_v2(A, b, bdy, bdx, g, NzT, DzT, block=256, interpret=True)
+    for x1, x2 in zip(r1, r2):
+        assert float(jnp.abs(x1 - x2).max()) < 1e-11
+    # a skewed Jacobian must NOT be detected as diagonal
+    assert detect_diag_geometry(np.asarray(Ji), np.asarray(w), S) is None
