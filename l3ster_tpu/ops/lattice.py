@@ -219,7 +219,7 @@ def face_gather(x: jnp.ndarray, fp: dict, order: int) -> jnp.ndarray:
     dim = len(n1)
     t = x.T.reshape((c,) + tuple(reversed(n1)))
     pos = 1 + (dim - 1 - axis)  # axis position in the (c, z, y, x) layout
-    idx = n1[axis] - 1 if fp["hi"] else 0
+    idx = fp.get("plane", n1[axis] - 1 if fp["hi"] else 0)
     plane = jax.lax.index_in_dim(t, idx, axis=pos, keepdims=False)  # (c, ...)
     plane = jnp.moveaxis(plane, 0, -1)
     return lattice_gather(plane.reshape(-1, c), fp["plan2d"], order)
@@ -236,7 +236,7 @@ def face_scatter_pad(y_loc: jnp.ndarray, fp: dict, order: int) -> jnp.ndarray:
     plane = plane.reshape(tuple(reversed(n12)) + (c,))
     plane = jnp.moveaxis(plane, -1, 0)  # (c, ...) — channel-leading full tensor
     pos = 1 + (dim - 1 - axis)
-    idx = n1[axis] - 1 if fp["hi"] else 0
+    idx = fp.get("plane", n1[axis] - 1 if fp["hi"] else 0)
     full = jnp.zeros((c,) + tuple(reversed(n1)), y_loc.dtype)
     key = tuple(slice(None) for _ in range(pos)) + (idx,)
     full = full.at[key].set(plane)

@@ -14,6 +14,16 @@ The halo exchange is two neighbor ``ppermute`` plane transfers per apply
 (import the ghost plane, export its partial result back) — O(plane) traffic
 riding adjacent ICI links.
 
+Supported per-shard contributions (the full flagship benchmark configuration):
+
+- any number of constant-coefficient lattice volume kernels (full-Jacobian or
+  factorized diagonal geometry) sharing one lattice plan;
+- boundary-side contributions on full lattice faces: x/y faces are split
+  along z with the slabs (interface-adjacent partials ride the existing plane
+  export), z faces are computed on their end shard and masked elsewhere;
+- uneven slab counts: the element grid need not divide by the shard count —
+  trailing shards carry zero-weighted padding planes (an empty slab is fine).
+
 ``box_parallelize(system, n_shards)`` wraps an assembled single-chip
 MatrixFreeSystem: assembly metadata (rhs, diagonal, Dirichlet data) is reused
 as-is — assembly is embarrassingly parallel and amortized — while the CG-loop
@@ -23,8 +33,8 @@ solution_vector), so every Krylov solver and operator-preconditioner works
 unchanged.
 
 Reference analog: ``comm/DistributeMesh.hpp`` + ``MatrixFreeSystem`` under
-MPI, specialized to the structured meshes of the benchmark family
-(``benchmarks/Diffusion3D.hpp``).
+MPI (``algsys/MatrixFreeSystem.hpp:1019-1140``), specialized to the
+structured meshes of the benchmark family (``benchmarks/Diffusion3D.hpp``).
 """
 
 from __future__ import annotations
@@ -60,58 +70,149 @@ class BoxSystem:
         sysm = self.inner
         P = self.n_shards
         contribs = [c for c in sysm._contribs if c.mode != "rhs"]
-        lat = None
+        vols, faces = [], []
         for c in contribs:
             d = sysm._operator_data(c)
-            if d[0] == "lattice_sf_const":
-                if lat is not None:
-                    raise ValueError("box decomposition supports one lattice domain contribution")
-                lat = (c, d)
-            elif c.tables.side is not None and sysm._face_plan(c) is not None:
-                raise NotImplementedError(
-                    "box decomposition v1 supports Dirichlet-only boundaries "
-                    "(express flux conditions as Dirichlet dofs)"
-                )
+            if d[0] in ("lattice_sf_const", "lattice_sf_const_diag"):
+                vols.append((c, d))
+            elif (
+                c.tables.side is not None
+                and d[0] == "direct"
+                and sysm._face_plan(c) is not None
+            ):
+                faces.append((c, d, sysm._face_plan(c)))
             else:
                 raise ValueError(
-                    "box decomposition requires the constant-coefficient lattice "
-                    f"fast path; contribution kind {d[0]!r} is not supported"
+                    "box decomposition requires constant-coefficient lattice "
+                    "volume kernels and full-lattice-side boundary kernels; "
+                    f"contribution kind {d[0]!r} is not supported"
                 )
-        if lat is None:
+        if not vols:
             raise ValueError("no lattice domain contribution found")
-        c, d = lat
-        _, self._A_const, Ji_l, w_l = d
-        plan = sysm._lattice_plan(c)
+        plan = sysm._lattice_plan(vols[0][0])
         n1, ne = plan[0], plan[1]
         if len(n1) != 3:
             raise ValueError("box decomposition is 3D-only")
-        # block element order is irrelevant here: Ji_l/w_l are already in
-        # canonical interleaved QP order (lattice_qp_perm folds eidx in)
-        p_ord = c.tables.order
+        for c2, _ in vols[1:]:
+            p2 = sysm._lattice_plan(c2)
+            if p2 is None or p2[0] != n1 or p2[1] != ne:
+                raise ValueError("all lattice volume contributions must share one lattice")
+        c0 = vols[0][0]
+        p_ord = c0.tables.order
         self._order = p_ord
-        self._q_order = c.options.quadrature_order(p_ord)
+        self._q_order = c0.options.quadrature_order(p_ord)
         q1 = self._q_order // 2 + 1
-        if ne[2] % P:
-            raise ValueError(f"z element count {ne[2]} not divisible by {P} shards")
-        self._n_unk = len(c.dof_inds)
-        rows = sysm._row_plan(c)
+        self._n_unk = len(c0.dof_inds)
+        rows = sysm._row_plan(c0)
         if rows is None:
             raise ValueError("box decomposition requires node-major consecutive dofs")
         self._n_rows = rows[1]
-        ne_p = ne[2] // P
+        # uneven slabs: pad the trailing shard(s) with zero-weight planes
+        ne_p = -(-ne[2] // P)
+        self._ne_real = [max(0, min(ne_p, ne[2] - p * ne_p)) for p in range(P)]
         self._ne_loc = (ne[0], ne[1], ne_p)
         self._n1_loc = (n1[0], n1[1], ne_p * p_ord + 1)
         self._n1 = n1
         nz_loc = self._n1_loc[2]
-        # slab plane ranges: shard p holds planes [p*ne_p*p_ord, ...+nz_loc)
         self._z0 = np.array([p * ne_p * p_ord for p in range(P)])
-        # per-shard geometry: the global interleaved QP order is z-outermost,
-        # so slabs are contiguous chunks — a pure reshape
-        Sz = ne[2] * q1
         RQ = ne[1] * q1 * ne[0] * q1
-        self._ji_st = jnp.asarray(Ji_l, self.dtype).reshape(3, 3, P, (Sz // P) * RQ)
-        self._ji_st = jnp.moveaxis(self._ji_st, 2, 0)  # (P, 3, 3, EQ_loc)
-        self._w_st = jnp.asarray(w_l, self.dtype).reshape(P, (Sz // P) * RQ)
+        Sz_loc = ne_p * q1
+
+        self._vol = []
+        for c, d in vols:
+            if d[0] == "lattice_sf_const":
+                _, A_const, Ji_l, w_l = d
+                Ji = np.asarray(Ji_l)
+                w = np.asarray(w_l)
+                padn = P * Sz_loc * RQ - w.shape[0]
+                if padn:
+                    Ji = np.concatenate(
+                        [Ji, np.tile(np.eye(3)[:, :, None], (1, 1, padn))], axis=-1
+                    )
+                    w = np.concatenate([w, np.zeros(padn)])
+                ji_st = jnp.asarray(
+                    np.moveaxis(Ji.reshape(3, 3, P, Sz_loc * RQ), 2, 0), self.dtype
+                )
+                w_st = jnp.asarray(w.reshape(P, Sz_loc * RQ), self.dtype)
+                self._vol.append(
+                    dict(kind="full", A=np.asarray(A_const), ji_st=ji_st, w_st=w_st)
+                )
+            else:
+                _, A_const = d[0], d[1]
+                jx, jy, jz, wyx, wz = (np.asarray(x) for x in d[2:])
+                padn = P * Sz_loc - jz.shape[0]
+                if padn:
+                    jz = np.concatenate([jz, np.ones((padn, 1))])
+                    wz = np.concatenate([wz, np.zeros((padn, 1))])
+                self._vol.append(
+                    dict(
+                        kind="diag",
+                        A=np.asarray(d[1]),
+                        jz_st=jnp.asarray(jz.reshape(P, Sz_loc, 1), self.dtype),
+                        wz_st=jnp.asarray(wz.reshape(P, Sz_loc, 1), self.dtype),
+                        jx=jnp.asarray(jx, self.dtype),
+                        jy=jnp.asarray(jy, self.dtype),
+                        wyx=jnp.asarray(wyx, self.dtype),
+                    )
+                )
+
+        # boundary faces
+        self._faces = []
+        for c, d, fp in faces:
+            _, A, B, w = d
+            A = np.asarray(A)
+            B = np.asarray(B)
+            w = np.asarray(w)
+            finv = fp["plan2d"][3]
+            if finv is not None:  # block order -> canonical face order
+                A, B, w = A[finv], B[finv], w[finv]
+            axis, hi = fp["axis"], fp["hi"]
+            if axis == 2:
+                # the hi face lives on the last shard that owns real elements
+                # (trailing shards may be empty under uneven decomposition)
+                owner = max(p for p in range(P) if self._ne_real[p]) if hi else 0
+                plane = self._ne_real[owner] * p_ord if hi else 0
+                p2d = (fp["plan2d"][0], fp["plan2d"][1], None, None)
+                fp_loc = dict(
+                    axis=2, hi=hi, n1=self._n1_loc, plan2d=p2d, plane=plane
+                )
+                self._faces.append(
+                    dict(
+                        kind="plane", owner=owner, fp=fp_loc,
+                        A=jnp.asarray(A, self.dtype), B=jnp.asarray(B, self.dtype),
+                        w=jnp.asarray(w, self.dtype),
+                    )
+                )
+            else:
+                # x/y faces: canonical face order is z-outer, so slabs are
+                # contiguous element slices; pad trailing shards with w=0
+                rem0 = 1 - axis  # the other in-plane axis (rem = [rem0, 2])
+                nrem0 = ne[rem0]
+                E_loc = nrem0 * ne_p
+                shp_A = (P, E_loc) + A.shape[1:]
+                A_st = np.zeros(shp_A, A.dtype)
+                B_st = np.zeros((P, E_loc) + B.shape[1:], B.dtype)
+                w_st = np.zeros((P, E_loc) + w.shape[1:], w.dtype)
+                for p in range(P):
+                    s = p * ne_p * nrem0
+                    nreal = self._ne_real[p] * nrem0
+                    A_st[p, :nreal] = A[s : s + nreal]
+                    B_st[p, :nreal] = B[s : s + nreal]
+                    w_st[p, :nreal] = w[s : s + nreal]
+                n12 = fp["plan2d"][0]
+                n12_loc = (n12[0], nz_loc)
+                ne2_loc = (fp["plan2d"][1][0], ne_p)
+                fp_loc = dict(
+                    axis=axis, hi=hi, n1=self._n1_loc,
+                    plan2d=(n12_loc, ne2_loc, None, None),
+                )
+                self._faces.append(
+                    dict(
+                        kind="strip", fp=fp_loc,
+                        A=jnp.asarray(A_st, self.dtype), B=jnp.asarray(B_st, self.dtype),
+                        w=jnp.asarray(w_st, self.dtype),
+                    )
+                )
 
         # masks, slab-stacked with ghost plane zeroed
         free_g = np.asarray(sysm.free_mask, dtype=np.float64)
@@ -119,16 +220,16 @@ class BoxSystem:
         dir_g = 1.0 - free_g
         dir_st = self._to_slabs(dir_g[:, None])[..., 0]
         self._dir_st = jnp.asarray(dir_st, self.dtype)
-        # ownership: ghost plane (first plane of shards p>0) excluded
+        # ownership: ghost plane (first plane of shards p>0) and padding planes
         own = np.ones((P, nz_loc, n1[1], n1[0], self._n_unk))
         own[1:, 0] = 0.0
-        self._own_st = jnp.asarray(
-            own.reshape(P, -1), self.dtype
-        )
+        for p in range(P):
+            own[p, self._ne_real[p] * p_ord + 1 :] = 0.0
+        self._own_st = jnp.asarray(own.reshape(P, -1), self.dtype)
 
     def _to_slabs(self, xg: np.ndarray) -> np.ndarray:
         """(n_dofs, r) global -> (P, nz_loc*ny*nx*c, r) stacked slabs, ghost
-        planes (first plane of shards p>0) zeroed."""
+        planes (first plane of shards p>0) and padding planes zeroed."""
         P = self.n_shards
         n1 = self._n1
         nz_loc = self._n1_loc[2]
@@ -137,7 +238,9 @@ class BoxSystem:
         x3 = np.asarray(xg).reshape(n1[2], n1[1], n1[0], c, r)
         out = np.zeros((P, nz_loc, n1[1], n1[0], c, r), dtype=x3.dtype)
         for p in range(P):
-            out[p] = x3[self._z0[p] : self._z0[p] + nz_loc]
+            nreal = self._ne_real[p] * self._order + 1 if self._ne_real[p] else 0
+            if nreal:
+                out[p, :nreal] = x3[self._z0[p] : self._z0[p] + nreal]
             if p > 0:
                 out[p, 0] = 0.0
         return out.reshape(P, -1, r)
@@ -152,8 +255,11 @@ class BoxSystem:
         xs = np.asarray(x_st).reshape(P, nz_loc, n1[1], n1[0], c, r)
         out = np.zeros((n1[2], n1[1], n1[0], c, r), dtype=xs.dtype)
         for p in range(P):
+            if not self._ne_real[p]:
+                continue
             lo = 1 if p > 0 else 0
-            out[self._z0[p] + lo : self._z0[p] + nz_loc] = xs[p, lo:]
+            nreal = self._ne_real[p] * self._order + 1
+            out[self._z0[p] + lo : self._z0[p] + nreal] = xs[p, lo:nreal]
         return out.reshape(-1, r)
 
     # -- the slab-decomposed operator -----------------------------------------
@@ -161,26 +267,53 @@ class BoxSystem:
     def operator_parts(self):
         from jax.sharding import PartitionSpec as P_
 
+        from ..ops.lattice import face_gather, face_scatter_pad
         from ..ops.lattice_sumfact import local_apply_lattice
+        from ..algsys.local import local_apply_direct
 
         P = self.n_shards
         n1l, nel = self._n1_loc, self._ne_loc
         ny, nx, c = self._n1[1], self._n1[0], self._n_unk
         nz_loc = n1l[2]
-        A = np.asarray(self._A_const)
         order, q_order = self._order, self._q_order
         dtype = self.dtype
         plane = ny * nx * c
+        vols, faces = self._vol, self._faces
 
-        def fn(x, free_l, dir_l, ji, w):
-            # shard_map: drop the leading size-1 shard axis
-            x, free_l, dir_l = x[0], free_l[0], dir_l[0]
-            ji, w = ji[0], w[0]
+        # flat consts: masks, then per-volume geometry, then per-face arrays
+        consts: list = [self._free_st, self._dir_st]
+        specs: list = [P_("shards"), P_("shards")]
+        vol_off = []
+        for v in vols:
+            vol_off.append(len(consts))
+            if v["kind"] == "full":
+                consts += [v["ji_st"], v["w_st"]]
+                specs += [P_("shards"), P_("shards")]
+            else:
+                consts += [v["jz_st"], v["wz_st"], v["jx"], v["jy"], v["wyx"]]
+                specs += [P_("shards"), P_("shards"), P_(), P_(), P_()]
+        face_off = []
+        for f in faces:
+            face_off.append(len(consts))
+            consts += [f["A"], f["B"], f["w"]]
+            if f["kind"] == "plane":
+                specs += [P_(), P_(), P_()]
+            else:
+                specs += [P_("shards"), P_("shards"), P_("shards")]
+
+        def fn(x, *cs):
+            # shard_map: sharded args arrive with a leading size-1 shard axis
+            # (dropped with [0]); replicated args pass through whole
+            x = x[0]
+            free_l, dir_l = cs[0][0], cs[1][0]
             me = jax.lax.axis_index("shards")
             r = x.shape[-1]
             xm = x * free_l[:, None]
             x4 = xm.reshape(nz_loc, plane, r)
-            # import: ghost plane <- previous shard's last plane
+            # import: ghost plane <- previous shard's last REAL plane.  With
+            # uneven slabs only trailing shards are short, and a shard's
+            # predecessor is always full, so plane -1 of the predecessor is
+            # its real top plane whenever the receiver owns real elements.
             recv = jax.lax.ppermute(
                 x4[-1], "shards", [(p, (p + 1) % P) for p in range(P)]
             )
@@ -188,11 +321,35 @@ class BoxSystem:
             x4 = x4.at[0].set(ghost)
             y4 = jnp.zeros_like(x4)
             for rr in range(r):
-                yr = local_apply_lattice(
-                    A, None, ji, w, order, q_order, n1l, nel,
-                    x4[:, :, rr].reshape(-1, c),
-                )
-                y4 = y4.at[:, :, rr].set(yr.reshape(nz_loc, plane))
+                x_loc = x4[:, :, rr].reshape(-1, c)
+                y_loc = jnp.zeros_like(x_loc)
+                for v, off in zip(vols, vol_off):
+                    if v["kind"] == "full":
+                        ji, w = cs[off][0], cs[off + 1][0]
+                        y_loc = y_loc + local_apply_lattice(
+                            v["A"], None, ji, w, order, q_order, n1l, nel, x_loc,
+                        )
+                    else:
+                        jz, wz = cs[off][0], cs[off + 1][0]
+                        jx, jy, wyx = cs[off + 2], cs[off + 3], cs[off + 4]
+                        y_loc = y_loc + local_apply_lattice(
+                            v["A"], None, None, None, order, q_order, n1l, nel,
+                            x_loc, geom=("diag", jx, jy, jz, wyx, wz),
+                        )
+                for f, off in zip(faces, face_off):
+                    if f["kind"] == "plane":
+                        A, B, w = cs[off], cs[off + 1], cs[off + 2]
+                        xf = face_gather(x_loc, f["fp"], order)
+                        yf = local_apply_direct(A, B, w, xf)
+                        yf = face_scatter_pad(yf, f["fp"], order)
+                        sel = (me == f["owner"]).astype(x_loc.dtype)
+                        y_loc = y_loc + sel * yf
+                    else:
+                        A, B, w = cs[off][0], cs[off + 1][0], cs[off + 2][0]
+                        xf = face_gather(x_loc, f["fp"], order)
+                        yf = local_apply_direct(A, B, w, xf)
+                        y_loc = y_loc + face_scatter_pad(yf, f["fp"], order)
+                y4 = y4.at[:, :, rr].set(y_loc.reshape(nz_loc, plane))
             # export: first-plane partials belong to the previous shard's
             # last plane
             send = jnp.where(me > 0, y4[0], jnp.zeros_like(y4[0]))
@@ -208,11 +365,10 @@ class BoxSystem:
         sharded = jax.shard_map(
             fn,
             mesh=self.device_mesh,
-            in_specs=(P_("shards"),) * 5,
+            in_specs=(P_("shards"),) + tuple(specs),
             out_specs=P_("shards"),
         )
-        consts = (self._free_st, self._dir_st, self._ji_st, self._w_st)
-        return (lambda x, *cs: sharded(x, *cs)), consts
+        return (lambda x, *cs: sharded(x, *cs)), tuple(consts)
 
     def operator(self):
         fn, consts = self.operator_parts()
@@ -255,13 +411,14 @@ class BoxSystem:
         return (
             f"BoxSystem: {self.inner.n_dofs} dofs as {self.n_shards} z-slabs of "
             f"{self._ne_loc[2]} element planes (lattice fast path per shard, "
-            f"2 ppermute plane exchanges per apply)"
+            f"{len(self._faces)} boundary faces, 2 ppermute plane exchanges per apply)"
         )
 
 
 def box_parallelize(system, n_shards: int | None = None, devices=None) -> BoxSystem:
     """Wrap an assembled single-chip MatrixFreeSystem in the slab-decomposed
-    operator.  Requirements: 3D lattice mesh (generated cubes), one
-    constant-coefficient domain kernel on the lattice fast path, Dirichlet-only
-    boundaries, and a z element count divisible by the shard count."""
+    operator.  Requirements: 3D lattice mesh (generated cubes),
+    constant-coefficient lattice volume kernels, boundary kernels on full
+    lattice faces; z element counts may be uneven across shards (including
+    empty trailing slabs)."""
     return BoxSystem(system, n_shards, devices)

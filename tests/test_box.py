@@ -107,7 +107,100 @@ def test_box_solve(n_shards):
     assert e < 1e-8, e
 
 
-def test_box_rejects_uneven_slabs():
-    mesh, system = _build(order=2, n=4)  # 3 z-element layers
-    with pytest.raises(ValueError):
-        box_parallelize(system, n_shards=2)
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_box_uneven_slabs(n_shards):
+    # 3 z-element layers on 2/4 shards: trailing shard is short (P=2) or
+    # empty (P=4) — the operator must still match single-chip exactly
+    mesh, system = _build(order=2, n=4)
+    box = box_parallelize(system, n_shards=n_shards)
+    rng = np.random.default_rng(1)
+    xg = rng.normal(size=(system.n_dofs, 1))
+    y_ref = np.asarray(system.operator()(jnp.asarray(xg, system.dtype)))
+    x_st = jnp.asarray(box._to_slabs(xg), box.dtype)
+    y_st = np.asarray(box.operator()(x_st))
+    y_box = box._from_slabs(y_st)
+    err = np.abs(y_box - y_ref).max() / np.abs(y_ref).max()
+    assert err < 1e-12, err
+
+
+def _build_flagship(order=3, n=5):
+    """The exact bench.py configuration: Neumann (adiabatic) faces 1-4,
+    Dirichlet T on the x-faces — the previously-unsupported decomposed case."""
+    mesh = lt.generate_mesh(lt.make_cube_mesh(np.linspace(0.0, 1.0, n)), order=order)
+    problem = lt.ProblemDefinition(4, [DOMAIN])
+    bcs = lt.BCDefinition(problem)
+    bcs.define_dirichlet([LEFT, RIGHT], [0])
+    system = lt.make_algebraic_system(
+        mesh, problem, bcs,
+        lt.AlgebraicSystemParams(eval_strategy=lt.OperatorEvaluationStrategy.MATRIX_FREE),
+    )
+    kd = lt.wrap_domain_equation_kernel(
+        _diffusion_3d, lt.KernelParams(dimension=3, n_equations=7, n_unknowns=4)
+    )
+
+    def adiabatic(inp, out):
+        ops, _ = out
+        ops[0][0, 1] = inp.normal[0]
+        ops[0][0, 2] = inp.normal[1]
+        ops[0][0, 3] = inp.normal[2]
+
+    kn = lt.wrap_boundary_equation_kernel(
+        adiabatic, lt.KernelParams(dimension=3, n_equations=1, n_unknowns=4)
+    )
+    kdir = lt.wrap_boundary_residual_kernel(
+        lambda i, o: o.__setitem__(0, i.point.x), lt.KernelParams(dimension=3, n_equations=1)
+    )
+    opts = lt.AssemblyOptions(
+        value_order=1, derivative_order=0,
+        eval_strategy=lt.LocalEvalStrategy.LATTICE_SF,
+    )
+    system.set_dirichlet_bc_values(kdir, [LEFT, RIGHT], [0])
+    system.begin_assembly()
+    system.assemble_problem(kd, [DOMAIN], options=opts)
+    system.assemble_problem(kn, [BACK, FRONT, BOTTOM, TOP])
+    system.end_assembly()
+    return mesh, system
+
+
+@pytest.mark.parametrize("n_shards,n", [(2, 5), (4, 5), (4, 4)])
+def test_box_flagship_operator_matches_single_chip(n_shards, n):
+    # includes boundary-face contributions: z faces (plane kind, owned by the
+    # end shards) and y faces (strip kind, split along z); n=4 exercises
+    # uneven slabs combined with faces
+    mesh, system = _build_flagship(n=n)
+    box = box_parallelize(system, n_shards=n_shards)
+    rng = np.random.default_rng(2)
+    xg = rng.normal(size=(system.n_dofs, 1))
+    y_ref = np.asarray(system.operator()(jnp.asarray(xg, system.dtype)))
+    x_st = jnp.asarray(box._to_slabs(xg), box.dtype)
+    y_st = np.asarray(box.operator()(x_st))
+    y_box = box._from_slabs(y_st)
+    err = np.abs(y_box - y_ref).max() / np.abs(y_ref).max()
+    assert err < 1e-12, err
+
+
+def test_box_flagship_solve():
+    # flagship config solved decomposed: T = x, q = (1,0,0) satisfies the
+    # adiabatic faces (n.q = 0 on y/z faces) and the Dirichlet x-faces
+    mesh, system = _build_flagship()
+    box = box_parallelize(system, n_shards=4)
+    res = box.solve(lt.CG(lt.IterSolverOpts(tol=1e-12, max_iters=3000), precond=lt.Jacobi()))
+    assert res.tol < 1e-10
+    manager = lt.SolutionManager(mesh, 4)
+    box.update_solution([0, 1, 2, 3], manager, [0, 1, 2, 3])
+
+    def err(i, o):
+        o[0] = i.field_vals[0] - i.point.x
+        o[1] = i.field_vals[1] - 1.0
+        o[2] = i.field_vals[2]
+        o[3] = i.field_vals[3]
+
+    ek = lt.wrap_domain_residual_kernel(
+        err, lt.KernelParams(dimension=3, n_equations=4, n_fields=4)
+    )
+    e = np.linalg.norm(
+        np.asarray(
+            lt.compute_norm_l2(ek, mesh, [DOMAIN], manager.field_access([0, 1, 2, 3]))
+        ).ravel()
+    )
+    assert e < 1e-8, e
