@@ -42,6 +42,18 @@ from .partition import partition_mesh_elements
 __all__ = ["DistributedSystem", "make_distributed_system"]
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("ri",), donate_argnums=(1,))
+def _gather_update(x, values, s, l, has, sl, ri: int):
+    """One-dispatch solution-manager update: gather each (node, dof) value
+    from its owner's slot in the stacked solution and scatter into the
+    manager columns (device-side ``ComputeValuesAtNodes``)."""
+    vals = jnp.where(has, x[s, l, ri], 0.0)
+    return values.at[:, sl].set(vals.astype(values.dtype))
+
+
 @dataclass
 class _ShardBucket:
     """One contribution, stacked across shards (leading axis = shard)."""
@@ -105,47 +117,44 @@ class DistributedSystem(_SystemBase):
     def _setup_ownership(self) -> None:
         P = self.n_shards
         nd = self.dofmap.node_dof
-        # dof set per shard = active dofs of the nodes of its local elements
-        shard_dofs: list[set] = [set() for _ in range(P)]
+        # dof set per shard = active dofs of the nodes of its local elements.
+        # Vectorized: per block, dedupe (shard, dof) incidence pairs through a
+        # combined integer key, then np.unique across blocks — no Python sets
+        # (SegmentedOwnership analog, ``util/SegmentedOwnership.hpp``).
+        keys = []
         for _, blk in self.mesh.blocks():
             part = self._parts[id(blk)]
             dofs = nd[blk.nodes]  # (E, n, max_dofs)
-            for p in range(P):
-                sel = dofs[part == p]
-                if sel.size:
-                    shard_dofs[p].update(sel[sel >= 0].tolist())
-        owner = np.full(self.n_dofs, -1, dtype=np.int64)
-        for p in range(P - 1, -1, -1):  # min shard wins
-            idx = np.fromiter(shard_dofs[p], dtype=np.int64, count=len(shard_dofs[p]))
-            owner[idx] = p
-        if (owner < 0).any():
+            E = dofs.shape[0]
+            flat = dofs.reshape(E, -1)
+            p_rep = np.repeat(part.astype(np.int64), flat.shape[1])
+            d = flat.ravel().astype(np.int64)
+            keep = d >= 0
+            keys.append(np.unique(p_rep[keep] * self.n_dofs + d[keep]))
+        key = np.unique(np.concatenate(keys)) if keys else np.empty(0, np.int64)
+        shard_of = key // self.n_dofs
+        dof_of = key % self.n_dofs
+        # min shard wins ownership
+        owner = np.full(self.n_dofs, P, dtype=np.int64)
+        np.minimum.at(owner, dof_of, shard_of)
+        if (owner >= P).any():
             raise RuntimeError("some dofs belong to no shard")
         self._owner = owner
 
-        owned_lists, ghost_lists, locals_g2l = [], [], []
+        # key is sorted by (shard, dof), so per-shard segments are sorted runs
+        seg = np.searchsorted(shard_of, np.arange(P + 1))
+        owned_lists, ghost_lists = [], []
+        is_owned = owner[dof_of] == shard_of
         for p in range(P):
-            mine = np.fromiter(shard_dofs[p], dtype=np.int64, count=len(shard_dofs[p]))
-            mine.sort()
-            own = mine[owner[mine] == p]
-            ghost = mine[owner[mine] != p]
-            owned_lists.append(own)
-            ghost_lists.append(ghost)
+            mine = dof_of[seg[p] : seg[p + 1]]
+            mo = is_owned[seg[p] : seg[p + 1]]
+            owned_lists.append(mine[mo])
+            ghost_lists.append(mine[~mo])
         self._owned = owned_lists
         self._ghost = ghost_lists
         n_loc = max((len(o) + len(g)) for o, g in zip(owned_lists, ghost_lists))
         self.n_loc1 = n_loc + 1  # +1 dump slot
         self._dump = n_loc
-
-        # global -> (shard, local slot) for owners; per-shard global->local
-        self._g2l = []
-        for p in range(P):
-            m = {}
-            for i, g in enumerate(owned_lists[p]):
-                m[int(g)] = i
-            off = len(owned_lists[p])
-            for i, g in enumerate(ghost_lists[p]):
-                m[int(g)] = off + i
-            self._g2l.append(m)
 
         # masks
         owned_mask = np.zeros((P, self.n_loc1))
@@ -193,8 +202,8 @@ class DistributedSystem(_SystemBase):
             RI = np.full((P, ms_o), self._dump, dtype=np.int64)  # holder-side ghost slots
             SM = np.zeros((P, ms_o))
             for j, q, lst in pairs:
-                SI[j, : len(lst)] = [self._g2l[j][int(g)] for g in lst]
-                RI[q, : len(lst)] = [self._g2l[q][int(g)] for g in lst]
+                SI[j, : len(lst)] = self._g2l_map(j, lst)
+                RI[q, : len(lst)] = self._g2l_map(q, lst)
                 SM[j, : len(lst)] = 1.0
             comm.append(
                 (
@@ -210,9 +219,10 @@ class DistributedSystem(_SystemBase):
         # Dirichlet scatter: (shard, slot) of each global Dirichlet dof (owner side)
         if len(self.dirichlet_dofs):
             ds = self._owner[self.dirichlet_dofs]
-            dl = np.array(
-                [self._g2l[s][int(g)] for s, g in zip(ds, self.dirichlet_dofs)], dtype=np.int64
-            )
+            dl = np.empty(len(ds), dtype=np.int64)
+            for p in np.unique(ds):
+                m = ds == p
+                dl[m] = self._g2l_map(int(p), self.dirichlet_dofs[m])
             self._dir_shard = ds
             self._dir_slot = dl
         else:
@@ -806,25 +816,17 @@ class DistributedSystem(_SystemBase):
                     jnp.zeros((E1, ni, ni), dtype),
                     jnp.zeros((E1, ni, self.n_rhs), dtype),
                 ]
-            for b in buckets:
-                verts_dev = next(it)
-                lidx_dev = next(it)
-                fields_dev = next(it) if b.fields is not None else None
-                pos = next(it) if assembled and b.mode != "rhs" else None
-                cr = next(it) if b.cond is not None else None
-                use_sf = self._sumfact_ok(b)
+            def bucket_piece(b, use_sf, verts_c, lidx_c, pos_c, fv, fd, rhs, diag, data):
+                """rhs/diag/data contributions of one element slice of bucket b
+                (linear in the element axis, so chunked accumulation is exact)."""
                 geom = element_geometry(
-                    b.tables,
-                    jnp.asarray(verts_dev, dtype),
-                    with_phys_ders=(assembled or not use_sf or fields_dev is not None),
+                    b.tables, verts_c,
+                    with_phys_ders=(assembled or not use_sf or fv is not None),
                 )
-                fv = fd = None
-                if fields_dev is not None:
-                    fv, fd = eval_fields(b.tables, geom, jnp.asarray(fields_dev, dtype))
                 A, f = eval_equation_kernel(b.kernel, geom, fv, fd, b.time, dtype)
                 q_order = b.options.quadrature_order(b.tables.order)
-                idx = lidx_dev.reshape(-1)
-                F = None
+                idx = lidx_c.reshape(-1)
+                F = K = None
                 if b.mode != "operator":
                     if use_sf:
                         F = local_rhs_sumfact(A, geom, b.tables.order, q_order, b.tables.dim, f)
@@ -833,7 +835,6 @@ class DistributedSystem(_SystemBase):
                         F = local_rhs(A, B, geom.weights, f)
                     # interior (condensed-out) rows land on the dump slot
                     rhs = rhs.at[idx].add(F.reshape(-1, self.n_rhs))
-                K = None
                 if b.mode != "rhs":
                     if not assembled:
                         if use_sf:
@@ -849,7 +850,61 @@ class DistributedSystem(_SystemBase):
                         # full-K scatter: interior rows/cols point at the dump
                         # slot's CSR entries, which the apply masks away, so
                         # only the Kbb part survives in the global system
-                        data = data.at[pos.reshape(-1)].add(K.reshape(-1))
+                        data = data.at[pos_c.reshape(-1)].add(K.reshape(-1))
+                return F, K, rhs, diag, data
+
+            for b in buckets:
+                verts_dev = next(it)
+                lidx_dev = next(it)
+                fields_dev = next(it) if b.fields is not None else None
+                pos = next(it) if assembled and b.mode != "rhs" else None
+                cr = next(it) if b.cond is not None else None
+                use_sf = self._sumfact_ok(b)
+                E_max = verts_dev.shape[0]
+                chunk = int(max(1, (1 << 25) // max(b.tables.n_qp * 128, 1)))
+                if b.fields is None and b.cond is None and E_max > chunk:
+                    # large field-free bucket: scan over element chunks so the
+                    # padded (E, Q, ...) geometry intermediates never OOM HBM
+                    # (distributed analog of the single-chip chunking,
+                    # ``algsys/system.py:835-901``); padding elements carry the
+                    # dump slot, so partial-chunk tails are handled inline
+                    has_pos = assembled and b.mode != "rhs"
+                    n_full = E_max // chunk
+                    pos2 = pos.reshape(E_max, -1) if has_pos else None
+
+                    def body(carry, xs, b=b, use_sf=use_sf, has_pos=has_pos):
+                        rhs, diag, data = carry
+                        v, li, po = xs if has_pos else (*xs, None)
+                        _, _, rhs, diag, data = bucket_piece(
+                            b, use_sf, v, li, po, None, None, rhs, diag, data
+                        )
+                        return (rhs, diag, data), None
+
+                    n_main = n_full * chunk
+                    xs = (
+                        verts_dev[:n_main].reshape((n_full, chunk) + verts_dev.shape[1:]),
+                        lidx_dev[:n_main].reshape(n_full, chunk, -1),
+                    )
+                    if has_pos:
+                        xs = xs + (pos2[:n_main].reshape(n_full, chunk, -1),)
+                    (rhs, diag, data), _ = jax.lax.scan(body, (rhs, diag, data), xs)
+                    if n_main < E_max:
+                        _, _, rhs, diag, data = bucket_piece(
+                            b, use_sf, verts_dev[n_main:], lidx_dev[n_main:],
+                            pos2[n_main:] if has_pos else None,
+                            None, None, rhs, diag, data,
+                        )
+                    continue
+                fv = fd = None
+                if fields_dev is not None:
+                    geom_f = element_geometry(
+                        b.tables, jnp.asarray(verts_dev, dtype), with_phys_ders=True
+                    )
+                    fv, fd = eval_fields(b.tables, geom_f, jnp.asarray(fields_dev, dtype))
+                F, K, rhs, diag, data = bucket_piece(
+                    b, use_sf, jnp.asarray(verts_dev, dtype), lidx_dev,
+                    pos, fv, fd, rhs, diag, data,
+                )
                 if b.cond is not None:
                     bs, isel = b.cond["b_sel"], b.cond["i_sel"]
                     tb, ti = b.cond["tb"], b.cond["ti"]
@@ -997,11 +1052,9 @@ class DistributedSystem(_SystemBase):
 
     def effective_rhs_global(self) -> np.ndarray:
         """Host (n_dofs, n_rhs) gather of the effective rhs (direct solvers)."""
-        b = np.asarray(self.effective_rhs())
+        so, lo, go = self._owner_plan()
         bg = np.zeros((self.n_dofs, self.n_rhs))
-        for p in range(self.n_shards):
-            own = self._owned[p]
-            bg[own] = b[p, : len(own)]
+        bg[go] = np.asarray(self.effective_rhs())[so, lo]
         return bg
 
     # -- solver-facing overrides -------------------------------------------------
@@ -1030,15 +1083,60 @@ class DistributedSystem(_SystemBase):
     def set_solution_vector(self, x):
         self.x = x.reshape(self.n_shards, self.n_loc1, self.n_rhs)
 
+    def _owner_plan(self):
+        """Cached (shard, slot, global) index triple of every owned dof:
+        ``xg[g] = xs[s, l]`` vectorizes all host gathers/scatters (no
+        per-shard Python loops, ``ComputeValuesAtNodes.hpp:211-380``)."""
+        plan = getattr(self, "_owner_plan_cache", None)
+        if plan is None:
+            g = np.concatenate(self._owned) if self._owned else np.empty(0, np.int64)
+            s = np.repeat(np.arange(self.n_shards), [len(o) for o in self._owned])
+            l = np.concatenate([np.arange(len(o)) for o in self._owned])
+            plan = self._owner_plan_cache = (s, l, g)
+        return plan
+
+    def _update_plan(self, dof_inds: np.ndarray, slot_inds: np.ndarray):
+        """Cached device-side gather plan for ``update_solution``: for each
+        (node, dof) pair, the (shard, slot) of its owner in the stacked x."""
+        plans = getattr(self, "_upd_plans", None)
+        if plans is None:
+            plans = self._upd_plans = {}
+        key = (tuple(dof_inds.tolist()), tuple(slot_inds.tolist()))
+        plan = plans.get(key)
+        if plan is None:
+            nd = self.dofmap.node_dof[:, dof_inds]  # (n_nodes, k)
+            has = nd >= 0
+            g = np.where(has, nd, 0)
+            s = self._owner[g]
+            l = np.empty_like(g)
+            for p in np.unique(s):
+                m = s == p
+                l[m] = self._g2l_map(int(p), g[m])
+            plan = plans[key] = (
+                jnp.asarray(s), jnp.asarray(l), jnp.asarray(has),
+                jnp.asarray(slot_inds),
+            )
+        return plan
+
     def update_solution(self, dof_inds, solution_manager, slot_inds, rhs_index: int = 0) -> None:
-        # gather stacked solution to a global dof vector on the host
-        xs = np.asarray(self.x)[:, :, rhs_index]
-        xg = np.zeros(self.n_dofs)
-        for p in range(self.n_shards):
-            own = self._owned[p]
-            xg[own] = xs[p, : len(own)]
         dof_inds = np.asarray(list(dof_inds), dtype=np.int64)
         slot_inds = np.asarray(list(slot_inds), dtype=np.int64)
+        if not self._cond_YZ:
+            # device fast path: ONE jitted gather from the stacked owner slots
+            # + scatter into the manager -- no host round-trip of the global
+            # vector (the reference keeps this collective and local,
+            # ``algsys/ComputeValuesAtNodes.hpp:211-380``)
+            s, l, has, sl = self._update_plan(dof_inds, slot_inds)
+            solution_manager.values = _gather_update(
+                self.x, solution_manager.values, s, l, has, sl, rhs_index
+            )
+            return
+        # condensed blocks present: interior recovery needs the per-element
+        # Schur factors -- host path (vectorized global gather)
+        so, lo, go = self._owner_plan()
+        xs = np.asarray(self.x)[:, :, rhs_index]
+        xg = np.zeros(self.n_dofs)
+        xg[go] = xs[so, lo]
         nd = self.dofmap.node_dof[:, dof_inds]
         has = nd >= 0
         vals = np.where(has, xg[np.where(has, nd, 0)], 0.0)
@@ -1067,18 +1165,15 @@ class DistributedSystem(_SystemBase):
         solution_manager.values = jnp.asarray(sm, solution_manager.dtype)
 
     def _solution_global(self) -> np.ndarray:
-        xs = np.asarray(self.x)
+        so, lo, go = self._owner_plan()
         xg = np.zeros((self.n_dofs, self.n_rhs))
-        for p in range(self.n_shards):
-            own = self._owned[p]
-            xg[own] = xs[p, : len(own)]
+        xg[go] = np.asarray(self.x)[so, lo]
         return xg
 
     def _set_solution_global(self, xg: np.ndarray) -> None:
+        so, lo, go = self._owner_plan()
         xs = np.zeros((self.n_shards, self.n_loc1, self.n_rhs))
-        for p in range(self.n_shards):
-            own = self._owned[p]
-            xs[p, : len(own)] = xg[own]
+        xs[so, lo] = xg[go]
         self.x = jnp.asarray(xs, self.dtype)
 
     def describe(self) -> str:

@@ -149,7 +149,7 @@ def gmres_solve(operator, b, x0=None, precond=None, tol=1e-10, max_iters=1000, r
         ok = jnp.abs(d) > tiny
         return jnp.where(ok, a / jnp.where(ok, d, 1.0), 0.0)
 
-    def cycle(x):
+    def cycle(x, res_prev):
         r = M(b2 - operator(x))
         beta = jnp.sqrt(_col_dots(r, r))  # (n_rhs,)
         V = jnp.zeros((m + 1,) + b2.shape, dt)
@@ -158,9 +158,27 @@ def gmres_solve(operator, b, x0=None, precond=None, tol=1e-10, max_iters=1000, r
         cs = jnp.zeros((m, n_rhs), dt)
         sn = jnp.zeros((m, n_rhs), dt)
         g = jnp.zeros((m + 1, n_rhs), dt).at[0].set(beta)
+        # early-exit threshold for the PRECONDITIONED Givens estimate |g[j]|:
+        # at cycle start est0 corresponds exactly to the known TRUE relative
+        # residual res_prev, so `est * res_prev / est0 <= tol` predicts true
+        # convergence; the 0.25 safety absorbs in-cycle drift of the
+        # preconditioned/true norm ratio (without it, Jacobi-preconditioned
+        # solves stagnate one Givens step short of the true tolerance)
+        est0 = jnp.max(beta / bnorm)
+        inner_tol = 0.25 * tol * safe_div(est0, jnp.maximum(res_prev, tiny))
 
-        def arnoldi(j, carry):
-            V, R, cs, sn, g = carry
+        def arnoldi_cond(carry):
+            # early exit when every column's Givens residual estimate has
+            # converged -- no post-convergence applies inside the cycle; the
+            # TRUE residual is still re-checked at the restart boundary.
+            # At least ONE step always runs (j == 0 short-circuit), so the
+            # outer loop cannot deadlock on a zero-step cycle
+            V, R, cs, sn, g, j = carry
+            est = jnp.max(jnp.abs(g[j]) / bnorm)
+            return jnp.logical_and(j < m, jnp.logical_or(j == 0, est > inner_tol))
+
+        def arnoldi(carry):
+            V, R, cs, sn, g, j = carry
             w = M(operator(V[j]))
             h = jnp.zeros((m + 1, n_rhs), dt)
 
@@ -188,25 +206,31 @@ def gmres_solve(operator, b, x0=None, precond=None, tol=1e-10, max_iters=1000, r
             h = h.at[j].set(denom).at[j + 1].set(0.0)
             g = g.at[j + 1].set(-sj * g[j]).at[j].set(cj * g[j])
             R = R.at[:, j].set(h)
-            return V, R, cs, sn, g
+            return V, R, cs, sn, g, j + 1
 
-        V, R, cs, sn, g = jax.lax.fori_loop(0, m, arnoldi, (V, R, cs, sn, g))
+        V, R, cs, sn, g, j_done = jax.lax.while_loop(
+            arnoldi_cond, arnoldi, (V, R, cs, sn, g, jnp.asarray(0))
+        )
+        # rows past j_done have zero R diagonal -> y=0 there (see
+        # _back_substitute), so the static-m back-substitution is exact
         y = _back_substitute(R[:m], g[:m], m)  # (m, n_rhs)
         yb = y.reshape((m,) + (1,) * (b2.ndim - 1) + (n_rhs,))
-        return x + jnp.sum(V[:m] * yb, axis=0)
+        return x + jnp.sum(V[:m] * yb, axis=0), j_done
 
     def cond(state):
         x, it, res = state
         return jnp.logical_and(it < max_iters, res > tol)
 
     def body(state):
-        x, it, _ = state
-        x = cycle(x)
+        x, it, res_prev = state
+        x, j_done = cycle(x, res_prev)
         r = b2 - operator(x)
         res = jnp.max(jnp.sqrt(_col_dots(r, r)) / bnorm)
         if verbosity >= 2:
-            jax.debug.print("GMRES it {it}: rel res {res:.3e}", it=it + m, res=res)
-        return (x, it + m, res)
+            jax.debug.print(
+                "GMRES it {it}: rel res {res:.3e}", it=it + j_done, res=res
+            )
+        return (x, it + j_done, res)
 
     r0 = b2 - operator(x0_)
     res0 = jnp.max(jnp.sqrt(_col_dots(r0, r0)) / bnorm)

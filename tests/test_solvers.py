@@ -20,6 +20,7 @@ class _DenseSystem:
         self.b = jnp.asarray(b).reshape(len(b), -1)
         self.n_dofs = A.shape[0]
         self.x = jnp.zeros_like(self.b)
+        self.dtype = self.b.dtype  # part of the system protocol (direct.py)
 
     def operator_parts(self):
         return (lambda x, A: A @ x), (self.A,)
@@ -123,6 +124,30 @@ def test_gmres_reports_convergence_failure():
     system, _ = _nonsym_system()
     res = lt.Gmres(lt.IterSolverOpts(tol=1e-14, max_iters=5, restart=5)).solve(system)
     assert res.num_iters >= 5 and res.tol > 1e-14
+
+
+def test_gmres_early_exit():
+    """The Arnoldi loop must stop at convergence, not run the full restart
+    cycle: a matrix with k distinct eigenvalues converges in <= k Krylov
+    steps, so with restart=n the honest inner-iteration count must be ~k,
+    not n (``solve/BelosSolvers.hpp:124-127`` per-iteration stopping)."""
+    from l3ster_tpu.solve.krylov import gmres_solve
+
+    rng = np.random.default_rng(3)
+    n, k = 64, 5
+    evals = np.resize(np.linspace(1.0, 2.0, k), n)
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    A = Q @ np.diag(evals) @ Q.T
+    b = rng.normal(size=(n, 1))
+
+    x, it, res = gmres_solve(
+        lambda v: jnp.asarray(A) @ v, jnp.asarray(b), tol=1e-10,
+        max_iters=1000, restart=n,
+    )
+    assert float(res) < 1e-10
+    assert int(it) <= k + 2, int(it)  # not a full n=64 cycle
+    err = np.abs(np.asarray(x) - np.linalg.solve(A, b)).max()
+    assert err < 1e-8
 
 
 def test_gmres_stacked_layout():
