@@ -131,6 +131,9 @@ class _SystemBase:
             raise RuntimeError("end_assembly without begin_assembly")
         self._open = False
         self._end_impl()
+        # operator values changed: preconditioner factors keyed on the old
+        # epoch are stale (solver-side setup caching, solve/krylov.py)
+        self._assembly_epoch = getattr(self, "_assembly_epoch", 0) + 1
 
     def _dofs_valid(self, elem_dofs: np.ndarray, block) -> bool:
         if self.params.cond_policy == CondensationPolicy.ELEMENT_BOUNDARY and (

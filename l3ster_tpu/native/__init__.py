@@ -15,7 +15,10 @@ import sysconfig
 
 import numpy as np
 
-__all__ = ["available", "hash_join_rows", "unique_rows", "match_rows", "ilu0_factor_csr"]
+__all__ = [
+    "available", "hash_join_rows", "unique_rows", "match_rows",
+    "ilu0_factor_csr", "tri_levels",
+]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "src", "hostops.cpp")
@@ -70,6 +73,14 @@ def _load():
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_int64,
+            ]
+        if hasattr(lib, "tri_levels"):
+            lib.tri_levels.argtypes = [
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int64),
             ]
         _lib = lib
     except OSError:
@@ -158,3 +169,16 @@ def ilu0_factor_csr(data, indices, indptr, n: int) -> np.ndarray | None:
     if rc < 0:
         raise ZeroDivisionError(f"ILU0 breakdown: zero pivot at row {-int(rc) - 1}")
     return a
+
+
+def tri_levels(indices, indptr, n: int, lower: bool) -> np.ndarray | None:
+    """Native topological levels for a level-scheduled triangular solve,
+    or None when the library is unavailable (callers use the numpy loop)."""
+    lib = _load()
+    if not lib or not hasattr(lib, "tri_levels"):
+        return None
+    idx = np.ascontiguousarray(indices, dtype=np.int64)
+    ptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    out = np.zeros(int(n), dtype=np.int64)
+    lib.tri_levels(_ptr(idx), _ptr(ptr), int(n), 1 if lower else 0, _ptr(out))
+    return out

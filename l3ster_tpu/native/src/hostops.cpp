@@ -156,6 +156,34 @@ int64_t ilu0_factor_csr(double* data, const int64_t* indices, const int64_t* ind
     return 0;
 }
 
-int host_ops_abi_version() { return 2; }
+// Topological levels of a triangular solve: level[i] = 1 + max level of the
+// strictly-lower (lower=1) / strictly-upper (lower=0) dependencies of row i.
+// One O(nnz) pass (rows in dependency order); feeds the level-scheduled
+// traced solves in solve/tri.py (cf. Ifpack2's local sweep scheduling,
+// solve/Ifpack2Preconditioners.hpp:97).
+void tri_levels(const int64_t* indices, const int64_t* indptr, int64_t n,
+                int lower, int64_t* level) {
+    if (lower) {
+        for (int64_t i = 0; i != n; ++i) {
+            int64_t lv = 0;
+            for (int64_t p = indptr[i]; p != indptr[i + 1]; ++p) {
+                int64_t j = indices[p];
+                if (j < i && level[j] >= lv) lv = level[j] + 1;
+            }
+            level[i] = lv;
+        }
+    } else {
+        for (int64_t i = n - 1; i >= 0; --i) {
+            int64_t lv = 0;
+            for (int64_t p = indptr[i]; p != indptr[i + 1]; ++p) {
+                int64_t j = indices[p];
+                if (j > i && level[j] >= lv) lv = level[j] + 1;
+            }
+            level[i] = lv;
+        }
+    }
+}
+
+int host_ops_abi_version() { return 3; }
 
 }  // extern "C"

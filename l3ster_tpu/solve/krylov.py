@@ -24,12 +24,41 @@ __all__ = ["cg_solve", "gmres_solve", "CG", "Gmres"]
 
 def _precond_parts(precond, system):
     """(apply(r, *consts), consts) for a preconditioner; falls back to the
-    closure-style setup() for third-party preconditioners (small state only)."""
+    closure-style setup() for third-party preconditioners (small state only).
+
+    Results are cached on the system keyed by (preconditioner, assembly
+    epoch): repeated solves between reassemblies (e.g. inner iterations of a
+    nonlinear step) reuse factors/level schedules for free, and a reassembly
+    (``end_assembly`` bumps the epoch) invalidates them -- the analog of
+    Ifpack2's ``initialize``/``compute`` split (factor reuse across solves,
+    ``solve/Ifpack2Preconditioners.hpp:85-96``)."""
+    epoch = getattr(system, "_assembly_epoch", None)
+    key = None
+    if epoch is not None:
+        try:
+            key = (precond, epoch)
+            hash(key)
+        except TypeError:
+            key = None
+    if key is not None:
+        cache = getattr(system, "_precond_parts_cache", None)
+        if cache is None:
+            cache = system._precond_parts_cache = {}
+        elif any(k[1] != epoch for k in cache):
+            # stale factors from an earlier assembly: drop them
+            cache.clear()
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
     setup_parts = getattr(precond, "setup_parts", None)
     if setup_parts is not None:
-        return setup_parts(system)
-    M = precond.setup(system)
-    return (lambda r, *pc: M(r)), ()
+        parts = setup_parts(system)
+    else:
+        M = precond.setup(system)
+        parts = (lambda r, *pc: M(r)), ()
+    if key is not None:
+        cache[key] = parts
+    return parts
 
 
 def _col_dots(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

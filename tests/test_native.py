@@ -55,3 +55,30 @@ def test_native_ilu0_parity():
     finally:
         native.ilu0_factor_csr = orig
     assert np.abs(nat - ref).max() == 0.0
+
+
+def test_native_tri_levels_parity():
+    """C++ tri_levels must match the python topological-level loop, both
+    triangles, on a random sparsity."""
+    import scipy.sparse as sp
+
+    import l3ster_tpu.native as native
+    import l3ster_tpu.solve.tri as tri
+
+    n = 400
+    A = sp.random(n, n, density=0.03, random_state=5)
+    A = (A + A.T + sp.eye(n)).tocsr()
+    A.sort_indices()
+    for lower in (True, False):
+        nat = native.tri_levels(A.indices, A.indptr, n, lower)
+        if nat is None:
+            import pytest
+
+            pytest.skip("native library unavailable")
+        orig = native.tri_levels
+        native.tri_levels = lambda *a: None
+        try:
+            ref = tri._levels(n, A.indptr.astype(np.int64), A.indices.astype(np.int64), lower)
+        finally:
+            native.tri_levels = orig
+        assert (nat == ref).all()

@@ -249,3 +249,55 @@ def test_relaxation_sweep_options():
         iters[name] = res.num_iters
     assert iters["jacobi-3"] <= iters["jacobi-1"]
     assert iters["sgs-2"] > 0
+
+
+def test_precond_setup_cached_across_solves():
+    """Preconditioner factors are reused across solves until the next
+    end_assembly bumps the assembly epoch (Ifpack2 initialize/compute split,
+    ``solve/Ifpack2Preconditioners.hpp:85-96``): transient runs must not
+    re-factor when the operator is unchanged."""
+    import l3ster_tpu as lt
+    from l3ster_tpu.solve.krylov import _precond_parts
+
+    mesh = lt.generate_mesh(lt.make_square_mesh(np.linspace(0.0, 1.0, 4)), order=2)
+    problem = lt.ProblemDefinition(1, [0])
+    bcs = lt.BCDefinition(problem)
+    bcs.define_dirichlet([1, 2, 3, 4], [0])
+    system = lt.make_algebraic_system(
+        mesh, problem, bcs,
+        lt.AlgebraicSystemParams(eval_strategy=lt.OperatorEvaluationStrategy.GLOBAL_ASSEMBLY),
+    )
+
+    def kd(inp, out):
+        ops, _ = out
+        ops[1][0, 0] = 1.0
+        ops[2][0, 0] = 1.0
+
+    k = lt.wrap_domain_equation_kernel(kd, lt.KernelParams(dimension=2, n_equations=2))
+    system.begin_assembly()
+    system.assemble_problem(k, [0])
+    system.end_assembly()
+
+    calls = {"n": 0}
+    orig = lt.ILU0.setup_parts
+
+    def counting(self, s):
+        calls["n"] += 1
+        return orig(self, s)
+
+    lt.ILU0.setup_parts = counting
+    try:
+        pre = lt.ILU0()
+        p1 = _precond_parts(pre, system)
+        p2 = _precond_parts(pre, system)
+        assert calls["n"] == 1 and p1 is p2  # cached within the epoch
+        # an equal-valued instance hits the same cache slot (frozen dataclass)
+        _precond_parts(lt.ILU0(), system)
+        assert calls["n"] == 1
+        system.begin_assembly()
+        system.assemble_problem(k, [0])
+        system.end_assembly()
+        _precond_parts(pre, system)
+        assert calls["n"] == 2  # reassembly invalidates
+    finally:
+        lt.ILU0.setup_parts = orig
