@@ -21,22 +21,30 @@ import time
 import numpy as np
 
 
-def timed(fn, x, consts, K=100):
+def timed(fn, x, consts, K1=50, K2=250):
+    """Per-apply seconds by the SLOPE between two chain lengths (the scalar
+    readback through the axon tunnel costs ~29ms FIXED; total/K would smear
+    it as ~0.29ms of phantom per-apply time at K=100)."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def chained(x, *cs):
-        def body(i, v):
-            out = fn(v, *cs)
-            return v + 1e-30 * out
+    def chain_total(K):
+        @jax.jit
+        def chained(x, *cs):
+            def body(i, v):
+                out = fn(v, *cs)
+                return v + 1e-30 * out
 
-        return jnp.sum(jax.lax.fori_loop(0, K, body, x))
+            return jnp.sum(jax.lax.fori_loop(0, K, body, x))
 
-    float(chained(x, *consts))
-    t0 = time.perf_counter()
-    float(chained(x, *consts))
-    return (time.perf_counter() - t0) / K
+        float(chained(x, *consts))
+        t0 = time.perf_counter()
+        float(chained(x, *consts))
+        t1 = time.perf_counter()
+        float(chained(x, *consts))
+        return min(t1 - t0, time.perf_counter() - t1)
+
+    return (chain_total(K2) - chain_total(K1)) / (K2 - K1)
 
 
 def main() -> None:
@@ -76,8 +84,15 @@ def main() -> None:
 
     # ---- pull the lattice contribution's pieces
     cvol = next(c for c in system._contribs if c.tables.side is None)
-    kind, A_const, Ji_l, w_l = system._operator_data(cvol)
-    assert kind == "lattice_sf_const", kind
+    op_data = system._operator_data(cvol)
+    kind, A_const = op_data[0], op_data[1]
+    assert kind in ("lattice_sf_const", "lattice_sf_const_diag"), kind
+    if kind == "lattice_sf_const":
+        _, _, Ji_l, w_l = op_data
+        geom_parts = None
+    else:
+        geom_parts = tuple(op_data[2:])
+        Ji_l = w_l = None
     plan = system._lattice_plan(cvol)
     n1, ne = plan[0], plan[1]
     q_order = cvol.options.quadrature_order(order)
@@ -85,15 +100,15 @@ def main() -> None:
     n_unk = 4
     n_rows = system.n_dofs // n_unk
 
-    from l3ster_tpu.ops.lattice_sumfact import _PREC, _tabs
-    from l3ster_tpu.ops.pallas_zsweep import fused_z_sweep
+    from l3ster_tpu.ops.lattice_sumfact import _PREC, _tabs, banded_tables
+    from l3ster_tpu.ops.pallas_zsweep2 import fused_z_sweep_v2
 
     dim = 3
     c = n_unk
     A = np.asarray(A_const)
 
     def volume_prefix(depth):
-        def fn(x, Ji_l, w_l):
+        def fn(x, *gconsts):
             tabs = _tabs(order, q_order, ne, x.dtype)
             (NxT, DxT), (NyT, DyT), (NzT, DzT) = tabs
             t = x.reshape(n_rows, c).T.reshape((c,) + tuple(reversed(n1)))
@@ -108,9 +123,13 @@ def main() -> None:
             bdx = jnp.einsum("czyQ,yR->zcRQ", adx0, NyT, precision=_PREC).reshape(n1z, c, R * Q)
             if depth == 2:
                 return jnp.sum(b) + jnp.sum(bdy) + jnp.sum(bdx)
-            a, ady, adx = fused_z_sweep(
-                A, b, bdy, bdx, Ji_l.reshape(dim * dim, S, R * Q), w_l.reshape(S, R * Q),
-                NzT, DzT,
+            if geom_parts is not None:
+                geom_t = ("diag",) + gconsts
+            else:
+                geom_t = ("full", gconsts[0].reshape(dim * dim, S, R * Q), gconsts[1].reshape(S, R * Q))
+            Ngz, Dgz = banded_tables(order, q_order, ne[2])
+            a, ady, adx = fused_z_sweep_v2(
+                A, b, bdy, bdx, geom_t, NzT, DzT, host_tables=(Ngz.T, Dgz.T),
             )
             if depth == 3:
                 return jnp.sum(a) + jnp.sum(ady) + jnp.sum(adx)
@@ -131,11 +150,12 @@ def main() -> None:
         return fn
 
     x = jnp.ones((system.n_dofs,), jnp.float32)
+    gconsts = geom_parts if geom_parts is not None else (Ji_l, w_l)
     results = {}
     prev = 0.0
     names = ["x-stage", "y-stage", "pallas-z", "y-transpose", "x-transpose"]
     for depth in range(1, 6):
-        dt = timed(volume_prefix(depth), x, (Ji_l, w_l))
+        dt = timed(volume_prefix(depth), x, gconsts)
         results[f"P{depth} {names[depth-1]}"] = dict(
             cum_ms=round(dt * 1e3, 4), stage_ms=round((dt - prev) * 1e3, 4)
         )

@@ -328,7 +328,8 @@ class LowOrderMG:
 
             z = vcycle(r, 0)
             for _ in range(cycles - 1):
-                z = z + vcycle(r - levels[0]["fn"](z, *cs[: levels[0]["n_oc"]]), 0)
+                lv0 = levels[0]
+                z = z + vcycle(r - lv0["fn"](z, *cs[lv0["off"] : lv0["off"] + lv0["n_oc"]]), 0)
             return z
 
         return apply, tuple(consts)
