@@ -1241,7 +1241,24 @@ class MatrixFreeSystem(_SystemBase):
         consts: list = []
         for c in contribs:
             d = self._operator_data(c)
-            if d[0] in (
+            packed_face = None
+            if d[0] == "direct" and getattr(c, "_direct_ns", None) is not None:
+                fp0 = self._face_plan(c)
+                if fp0 is not None:
+                    from ..ops.lattice_sumfact import pack_face_banded
+
+                    packed_face = pack_face_banded(
+                        d[1], d[3], fp0, c.tables.order,
+                        c.options.quadrature_order(c.tables.order),
+                    )
+            if packed_face is not None:
+                # value-only full-lattice side: ONE global banded 2D sweep on
+                # the face plane (the per-element direct path pads each tiny
+                # (Q, n_nodes) tile to the MXU and is latency-bound)
+                A_l, w_l = packed_face
+                op = ("face_banded", len(consts), 2, None)
+                consts.extend([jnp.asarray(A_l, dtype), jnp.asarray(w_l, dtype)])
+            elif d[0] in (
                 "sumfact_const", "pallas", "dense_const", "lattice_sf_const",
                 "lattice_sf_const_diag",
             ):
@@ -1284,6 +1301,26 @@ class MatrixFreeSystem(_SystemBase):
             from ..ops.lattice import lattice_gather, lattice_scatter_add
 
             y = jnp.zeros_like(x)
+            # lattice GROUPS: all lattice-family contributions (volume sweeps
+            # and boundary faces) sharing one (n1, n_rows, n_unk) lattice work
+            # on a single channel-leading tensor per rhs column — one entry
+            # and one exit transpose per apply, with faces accumulating their
+            # plane in place (no full-size zero-pad / relayout per face).
+            tcache: dict = {}
+            tacc: dict = {}
+
+            def _t_in(key, r):
+                t = tcache.get((key, r))
+                if t is None:
+                    n1t, n_rows_k, n_unk_k = key
+                    t = (
+                        x[:, r]
+                        .reshape(n_rows_k, n_unk_k)
+                        .T.reshape((n_unk_k,) + tuple(reversed(n1t)))
+                    )
+                    tcache[(key, r)] = t
+                return t
+
             for c, (kind, off, nargs, static_A, gi, n_rows, flag) in zip(contribs, spec):
                 d = (kind,) + tuple(consts[off : off + nargs])
                 E, n_nodes, n_unk = c.elem_dofs.shape
@@ -1305,13 +1342,40 @@ class MatrixFreeSystem(_SystemBase):
                     else:
                         _, A_t, Ji_l, w_l = d
                         A_c = None
+                    key = (tuple(plan[0]), n_rows, n_unk)
                     for r in range(x.shape[1]):
-                        yr = local_apply_lattice(
+                        yt = local_apply_lattice(
                             A_c, A_t, Ji_l, w_l, c.tables.order, q_order,
-                            plan[0], plan[1], x[:, r].reshape(n_rows, n_unk),
-                            geom=geom,
+                            plan[0], plan[1], _t_in(key, r),
+                            geom=geom, tensor_io=True,
                         )
-                        y = y.at[:, r].add(yr.reshape(-1))
+                        prev = tacc.get((key, r))
+                        tacc[(key, r)] = yt if prev is None else prev + yt
+                    continue
+                if kind == "face_banded":
+                    from ..ops.lattice_sumfact import face_apply_banded
+
+                    fp = flag[1]
+                    fkey = (tuple(fp["n1"]), n_rows, n_unk)
+                    fdim = len(fp["n1"])
+                    pos = 1 + (fdim - 1 - fp["axis"])
+                    pidx = fp.get(
+                        "plane", fp["n1"][fp["axis"]] - 1 if fp["hi"] else 0
+                    )
+                    q_order = c.options.quadrature_order(c.tables.order)
+                    sl = tuple(slice(None) for _ in range(pos)) + (pidx,)
+                    for r in range(x.shape[1]):
+                        t_in = _t_in(fkey, r)
+                        plane = jax.lax.index_in_dim(
+                            t_in, pidx, axis=pos, keepdims=False
+                        )
+                        yp = face_apply_banded(
+                            d[1], d[2], fp, c.tables.order, q_order, plane
+                        )
+                        acc = tacc.get((fkey, r))
+                        if acc is None:
+                            acc = jnp.zeros_like(t_in)
+                        tacc[(fkey, r)] = acc.at[sl].add(yp)
                     continue
                 rows = n_rows is not None
                 face = None
@@ -1325,13 +1389,12 @@ class MatrixFreeSystem(_SystemBase):
                 elif face is None and lat is None:
                     idx = consts[gi]
                 q_order = c.options.quadrature_order(c.tables.order)
+                fkey = (tuple(face["n1"]), n_rows, n_unk) if face is not None else None
                 for r in range(x.shape[1]):
                     if face is not None:
-                        from ..ops.lattice import face_gather, face_scatter_pad
+                        from ..ops.lattice import face_gather_tensor
 
-                        x_loc = face_gather(
-                            x[:, r].reshape(n_rows, n_unk), face, c.tables.order
-                        )
+                        x_loc = face_gather_tensor(_t_in(fkey, r), face, c.tables.order)
                     elif lat is not None:
                         x_loc = lattice_gather(
                             x[:, r].reshape(n_rows, n_unk), lat, c.tables.order
@@ -1376,8 +1439,16 @@ class MatrixFreeSystem(_SystemBase):
                         _, A, B, w = d
                         y_loc = local_apply_direct(A, B, w, x_loc)
                     if face is not None:
-                        yr = face_scatter_pad(y_loc, face, c.tables.order)
-                        y = y.at[:, r].add(yr.reshape(-1))
+                        from ..ops.lattice import face_scatter_tensor_add
+
+                        acc = tacc.get((fkey, r))
+                        if acc is None:
+                            acc = jnp.zeros(
+                                (n_unk,) + tuple(reversed(fkey[0])), x.dtype
+                            )
+                        tacc[(fkey, r)] = face_scatter_tensor_add(
+                            y_loc, face, c.tables.order, acc
+                        )
                     elif lat is not None:
                         yr = lattice_scatter_add(y_loc, lat, c.tables.order)
                         y = y.at[:, r].add(yr.reshape(-1))
@@ -1393,6 +1464,9 @@ class MatrixFreeSystem(_SystemBase):
                         y = y.at[:, r].add(yr.reshape(-1))
                     else:
                         y = y.at[idx.reshape(-1), r].add(y_loc.reshape(-1))
+            for (key, r), acc in tacc.items():
+                n_unk_k = key[2]
+                y = y.at[:, r].add(acc.reshape(n_unk_k, -1).T.reshape(-1))
             return y
 
         return apply, tuple(consts)

@@ -30,6 +30,8 @@ __all__ = [
     "detect_face_plan",
     "face_gather",
     "face_scatter_pad",
+    "face_gather_tensor",
+    "face_scatter_tensor_add",
 ]
 
 
@@ -241,6 +243,41 @@ def face_scatter_pad(y_loc: jnp.ndarray, fp: dict, order: int) -> jnp.ndarray:
     key = tuple(slice(None) for _ in range(pos)) + (idx,)
     full = full.at[key].set(plane)
     return full.reshape(c, -1).T
+
+
+def face_gather_tensor(t: jnp.ndarray, fp: dict, order: int) -> jnp.ndarray:
+    """Like :func:`face_gather` but on the channel-leading lattice tensor
+    t (c, n1_d, ..., n1_x) directly — used by the fused lattice-group apply
+    (``algsys/system.py raw_parts``) so the four boundary faces of a lattice
+    block share ONE entry transpose with the volume sweep instead of paying a
+    full-tensor relayout each."""
+    n1, axis = fp["n1"], fp["axis"]
+    c = t.shape[0]
+    dim = len(n1)
+    pos = 1 + (dim - 1 - axis)  # axis position in the (c, z, y, x) layout
+    idx = fp.get("plane", n1[axis] - 1 if fp["hi"] else 0)
+    plane = jax.lax.index_in_dim(t, idx, axis=pos, keepdims=False)  # (c, ...)
+    plane = jnp.moveaxis(plane, 0, -1)
+    return lattice_gather(plane.reshape(-1, c), fp["plan2d"], order)
+
+
+def face_scatter_tensor_add(y_loc: jnp.ndarray, fp: dict, order: int, acc: jnp.ndarray):
+    """Exact transpose of :func:`face_gather_tensor`, accumulated into the
+    channel-leading lattice tensor ``acc`` (c, n1_d, ..., n1_x): the face
+    result touches only its plane, so no full-size zero-pad / transpose /
+    add round-trips HBM (the dominant cost of boundary contributions at the
+    flagship before this path existed)."""
+    n1, axis = fp["n1"], fp["axis"]
+    c = y_loc.shape[-1]
+    dim = len(n1)
+    n12 = fp["plan2d"][0]
+    plane = lattice_scatter_add(y_loc, fp["plan2d"], order)
+    plane = plane.reshape(tuple(reversed(n12)) + (c,))
+    plane = jnp.moveaxis(plane, -1, 0)  # (c, ...)
+    pos = 1 + (dim - 1 - axis)
+    idx = fp.get("plane", n1[axis] - 1 if fp["hi"] else 0)
+    key = tuple(slice(None) for _ in range(pos)) + (idx,)
+    return acc.at[key].add(plane)
 
 
 def lattice_scatter_add(y_loc: jnp.ndarray, plan, order: int) -> jnp.ndarray:

@@ -33,6 +33,8 @@ __all__ = [
     "lattice_interp",
     "lattice_transpose",
     "local_apply_lattice",
+    "pack_face_banded",
+    "face_apply_banded",
 ]
 
 def _mxu_precision():
@@ -170,6 +172,61 @@ def lattice_transpose(t0: jnp.ndarray, td, tabs):
     )
 
 
+def pack_face_banded(A, w, fp: dict, order: int, q_order: int):
+    """Pack a value-only boundary contribution for the banded face apply.
+
+    A (E, Q, 1, n_eq, c) and w (E, Q) are the direct-path tensors in BLOCK
+    element order (node-restricted to the side's surface nodes); returns
+    (A_l (n_eq, c, EQ), w_l (EQ,)) in interleaved face-QP order matching the
+    global banded 2D interpolation of the face lattice plane.  Returns None
+    when the contribution is not value-only (derivative faces keep the
+    batched direct path)."""
+    A = np.asarray(A)
+    w = np.asarray(w)
+    if A.ndim != 5 or A.shape[2] != 1:
+        return None
+    E, Q, _, n_eq, c = A.shape
+    q1 = q_order // 2 + 1
+    ne2 = fp["plan2d"][1]
+    if len(ne2) != 2 or Q != q1 ** len(ne2) or E != int(np.prod(ne2)):
+        return None
+    finv = fp["plan2d"][3]
+    perm = lattice_qp_perm(tuple(ne2), q1, eidx_inv=finv)
+    A_l = A.reshape(E * Q, n_eq, c)[perm].transpose(1, 2, 0)
+    w_l = w.reshape(E * Q)[perm]
+    return A_l, w_l
+
+
+def face_apply_banded(
+    A_l: jnp.ndarray,  # (n_eq, c, EQ) interleaved face-QP order
+    w_l: jnp.ndarray,  # (EQ,)
+    fp: dict,
+    order: int,
+    q_order: int,
+    plane: jnp.ndarray,  # (c,) + reversed(n12) channel-leading face plane
+) -> jnp.ndarray:
+    """Value-only boundary contribution on a full lattice side as ONE global
+    banded 2D sweep over the face plane (c, n1_b, n1_a) -> same shape.
+
+    Replaces 4 tiny batched per-element einsums + window extraction +
+    overlap-add with 4 face-wide matmuls: the per-element direct path pads
+    each (Q, n_nodes) tile to the MXU and is latency-bound at ~36 elements
+    (measured ~30us/face at the p=6 flagship vs ~2us here)."""
+    n12 = fp["plan2d"][0]
+    ne2 = fp["plan2d"][1]
+    c = plane.shape[0]
+    tabs = _tabs(order, q_order, ne2, plane.dtype)
+    (NaT, _), (NbT, _) = tabs
+    a = jnp.einsum("cyx,xQ->cyQ", plane, NaT, precision=_PREC)
+    v = jnp.einsum("cyQ,yR->cRQ", a, NbT, precision=_PREC)
+    R, Q = v.shape[1], v.shape[2]
+    vf = v.reshape(c, R * Q)
+    r = jnp.einsum("icq,cq->iq", A_l, vf, precision=_PREC) * w_l[None, :]
+    tt = jnp.einsum("icq,iq->cq", A_l, r, precision=_PREC).reshape(c, R, Q)
+    b = jnp.einsum("cRQ,yR->cyQ", tt, NbT, precision=_PREC)
+    return jnp.einsum("cyQ,xQ->cyx", b, NaT, precision=_PREC)
+
+
 def local_apply_lattice(
     A_const,  # (dim+1, n_eq, c) numpy for const kernels, or None
     A_t,  # (dim+1, n_eq, c, EQ) interleaved-order device tensor, or None
@@ -181,19 +238,25 @@ def local_apply_lattice(
     ne: tuple,
     x: jnp.ndarray,  # (n_rows, c) global lattice node rows
     geom: tuple | None = None,  # ("diag", jx, jy, jz, wyx, wz) factorized geometry
+    tensor_io: bool = False,  # x IS the channel-leading tensor; return same
 ) -> jnp.ndarray:
-    """Full constrained-free local apply on the global lattice; (n_rows, c)."""
+    """Full constrained-free local apply on the global lattice; (n_rows, c).
+
+    With ``tensor_io`` the caller owns the (c, n1_d, ..., n1_x) layout: x is
+    the channel-leading lattice tensor and the result is returned in the same
+    layout, so a lattice GROUP (volume + boundary faces sharing one lattice)
+    pays exactly one entry/exit transpose per apply (see raw_parts)."""
     import os
 
     from ..algsys.local import _qp_algebra_const, _qp_algebra_packed
 
     dim = len(n1)
-    c = x.shape[-1]
+    c = x.shape[0] if tensor_io else x.shape[-1]
     q1 = q_order // 2 + 1
     tabs = _tabs(order, q_order, ne, x.dtype)
     # single entry transpose to channel-leading; everything downstream keeps
     # lattice axes minor (lane-packed) so channel stacks are row views
-    t = x.T.reshape((c,) + tuple(reversed(n1)))
+    t = x if tensor_io else x.T.reshape((c,) + tuple(reversed(n1)))
     qsh = tuple(q1 * n for n in reversed(ne))
     fused_z = geom is not None or (
         A_const is not None
@@ -248,7 +311,7 @@ def local_apply_lattice(
         y = jnp.einsum("czyQ,xQ->czyx", a2, NxT, precision=_PREC) + jnp.einsum(
             "czyQ,xQ->czyx", adx2, DxT, precision=_PREC
         )
-        return y.reshape(c, -1).T.reshape(x.shape)
+        return y if tensor_io else y.reshape(c, -1).T.reshape(x.shape)
     EQ = w_l.shape[0]
     v, ders = lattice_interp(t, tabs)
     # opt-in only: measured 1.188 (Pallas) vs 1.114 ms (XLA chains) per apply
@@ -275,7 +338,7 @@ def local_apply_lattice(
         t0s = tt[:c].reshape((c,) + qsh)
         tds = [tt[(1 + j) * c : (2 + j) * c].reshape((c,) + qsh) for j in range(dim)]
         y = lattice_transpose(t0s, tds, tabs)
-        return y.reshape(c, -1).T.reshape(x.shape)
+        return y if tensor_io else y.reshape(c, -1).T.reshape(x.shape)
     vals_l = [v[u].reshape(EQ) for u in range(c)]
     rd = [[d[u].reshape(EQ) for u in range(c)] for d in ders]
     if A_const is not None:
@@ -285,4 +348,4 @@ def local_apply_lattice(
     t0s = jnp.stack([ti.reshape(qsh) for ti in t0])
     tds = [jnp.stack([tj.reshape(qsh) for tj in tr[j]]) for j in range(dim)]
     y = lattice_transpose(t0s, tds, tabs)
-    return y.reshape(c, -1).T.reshape(x.shape)
+    return y if tensor_io else y.reshape(c, -1).T.reshape(x.shape)

@@ -256,3 +256,47 @@ def test_fused_z_sweep_v2_parity(p, ne, qo):
         assert float(jnp.abs(x1 - x2).max()) < 1e-11
     # a skewed Jacobian must NOT be detected as diagonal
     assert detect_diag_geometry(np.asarray(Ji), np.asarray(w), S) is None
+
+
+def _adiabatic_3d(inp, out):
+    ops, _ = out
+    ops[0][0, 1] = inp.normal[0]
+    ops[0][0, 2] = inp.normal[1]
+    ops[0][0, 3] = inp.normal[2]
+
+
+@pytest.mark.parametrize("order,n1", [(2, 4), (4, 3), (6, 2)])
+def test_lattice_faces_match_assembled(order, n1):
+    """The flagship bench configuration (lattice volume + 4 value-only
+    Neumann faces + Dirichlet) through the banded face path
+    (``ops/lattice_sumfact.face_apply_banded``) must reproduce the assembled
+    CSR matvec to f64 precision."""
+
+    def build(strategy):
+        mesh = lt.generate_mesh(
+            lt.make_cube_mesh(np.linspace(0.0, 1.0, n1)), order=order
+        )
+        problem = lt.ProblemDefinition(4, [0])
+        bcs = lt.BCDefinition(problem)
+        bcs.define_dirichlet([5, 6], [0])
+        params = lt.AlgebraicSystemParams(eval_strategy=strategy)
+        system = lt.make_algebraic_system(mesh, problem, bcs, params)
+        kd = lt.wrap_domain_equation_kernel(
+            _diffusion_3d, lt.KernelParams(dimension=3, n_equations=7, n_unknowns=4)
+        )
+        kn = lt.wrap_boundary_equation_kernel(
+            _adiabatic_3d, lt.KernelParams(dimension=3, n_equations=1, n_unknowns=4)
+        )
+        system.begin_assembly()
+        system.assemble_problem(kd, [0])
+        system.assemble_problem(kn, [1, 2, 3, 4])
+        system.end_assembly()
+        return system
+
+    s_mf = build(lt.OperatorEvaluationStrategy.MATRIX_FREE)
+    s_as = build(lt.OperatorEvaluationStrategy.GLOBAL_ASSEMBLY)
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(s_mf.n_dofs, 1)))
+    y1 = s_mf.operator()(x)
+    y2 = s_as.operator()(x)
+    scale = float(jnp.abs(y2).max())
+    assert float(jnp.abs(y1 - y2).max()) < 1e-11 * max(scale, 1.0)
