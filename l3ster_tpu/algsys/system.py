@@ -1173,8 +1173,19 @@ class MatrixFreeSystem(_SystemBase):
             else:
                 A, _ = eval_equation_kernel(c.kernel, geom, fv, fd, c.time, dtype)
                 E, Q = geom.weights.shape
-                A_t = jnp.moveaxis(A.reshape((E * Q,) + A.shape[2:]), 0, -1)
-                c._op_data = ("lattice_sf", A_t[..., perm], Ji_l, w_l)
+                A_t = jnp.moveaxis(A.reshape((E * Q,) + A.shape[2:]), 0, -1)[..., perm]
+                # variable-coefficient structural sparsity: most (d, i, u)
+                # planes of a PDE coefficient tensor are identically zero --
+                # keep only the nonzero planes (streamed per tile through the
+                # fused z-sweep; skipped entirely in the XLA FMA chains)
+                mx = np.asarray(jnp.max(jnp.abs(A_t), axis=-1))
+                nz = tuple(tuple(int(v) for v in ix) for ix in np.argwhere(mx > 0.0))
+                if len(nz) == 0:
+                    nz = ((0, 0, 0),)
+                A_nz = jnp.stack([A_t[d, i, u] for d, i, u in nz])
+                c._op_data = (
+                    "lattice_sf_var", (nz, int(A_t.shape[1])), A_nz, Ji_l, w_l
+                )
             return c._op_data
         if use_dense:
             from ..ops.dense_eval import dense_basis_matrix
@@ -1260,9 +1271,9 @@ class MatrixFreeSystem(_SystemBase):
                 consts.extend([jnp.asarray(A_l, dtype), jnp.asarray(w_l, dtype)])
             elif d[0] in (
                 "sumfact_const", "pallas", "dense_const", "lattice_sf_const",
-                "lattice_sf_const_diag",
+                "lattice_sf_const_diag", "lattice_sf_var",
             ):
-                op = (d[0], len(consts), len(d) - 2, d[1])  # static A matrix
+                op = (d[0], len(consts), len(d) - 2, d[1])  # static A / nz part
                 consts.extend(d[2:])
             else:
                 op = (d[0], len(consts), len(d) - 1, None)
@@ -1326,28 +1337,33 @@ class MatrixFreeSystem(_SystemBase):
                 E, n_nodes, n_unk = c.elem_dofs.shape
                 if kind == "direct":
                     n_nodes = d[2].shape[-1]  # possibly node-restricted B
-                if kind in ("lattice_sf_const", "lattice_sf", "lattice_sf_const_diag"):
+                if kind in (
+                    "lattice_sf_const", "lattice_sf_var", "lattice_sf_const_diag"
+                ):
                     from ..ops.lattice_sumfact import local_apply_lattice
 
                     plan = self._lattice_plan(c)
                     q_order = c.options.quadrature_order(c.tables.order)
                     geom = None
+                    var = None
                     if kind == "lattice_sf_const":
                         _, Ji_l, w_l = d
-                        A_c, A_t = static_A, None
+                        A_c = static_A
                     elif kind == "lattice_sf_const_diag":
                         geom = ("diag",) + tuple(d[1:])
                         Ji_l = w_l = None
-                        A_c, A_t = static_A, None
+                        A_c = static_A
                     else:
-                        _, A_t, Ji_l, w_l = d
+                        _, A_nz, Ji_l, w_l = d
+                        nz_idx, n_eq_v = static_A
+                        var = (nz_idx, A_nz, n_eq_v)
                         A_c = None
                     key = (tuple(plan[0]), n_rows, n_unk)
                     for r in range(x.shape[1]):
                         yt = local_apply_lattice(
-                            A_c, A_t, Ji_l, w_l, c.tables.order, q_order,
+                            A_c, None, Ji_l, w_l, c.tables.order, q_order,
                             plan[0], plan[1], _t_in(key, r),
-                            geom=geom, tensor_io=True,
+                            geom=geom, tensor_io=True, var=var,
                         )
                         prev = tacc.get((key, r))
                         tacc[(key, r)] = yt if prev is None else prev + yt

@@ -222,7 +222,9 @@ def face_gather(x: jnp.ndarray, fp: dict, order: int) -> jnp.ndarray:
     t = x.T.reshape((c,) + tuple(reversed(n1)))
     pos = 1 + (dim - 1 - axis)  # axis position in the (c, z, y, x) layout
     idx = fp.get("plane", n1[axis] - 1 if fp["hi"] else 0)
-    plane = jax.lax.index_in_dim(t, idx, axis=pos, keepdims=False)  # (c, ...)
+    # dynamic_index_in_dim: the plane index may be a traced per-shard value
+    # (window-decomposed BoxSystem); static ints lower identically
+    plane = jax.lax.dynamic_index_in_dim(t, idx, axis=pos, keepdims=False)
     plane = jnp.moveaxis(plane, 0, -1)
     return lattice_gather(plane.reshape(-1, c), fp["plan2d"], order)
 
@@ -256,7 +258,7 @@ def face_gather_tensor(t: jnp.ndarray, fp: dict, order: int) -> jnp.ndarray:
     dim = len(n1)
     pos = 1 + (dim - 1 - axis)  # axis position in the (c, z, y, x) layout
     idx = fp.get("plane", n1[axis] - 1 if fp["hi"] else 0)
-    plane = jax.lax.index_in_dim(t, idx, axis=pos, keepdims=False)  # (c, ...)
+    plane = jax.lax.dynamic_index_in_dim(t, idx, axis=pos, keepdims=False)
     plane = jnp.moveaxis(plane, 0, -1)
     return lattice_gather(plane.reshape(-1, c), fp["plan2d"], order)
 

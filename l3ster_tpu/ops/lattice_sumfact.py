@@ -239,6 +239,7 @@ def local_apply_lattice(
     x: jnp.ndarray,  # (n_rows, c) global lattice node rows
     geom: tuple | None = None,  # ("diag", jx, jy, jz, wyx, wz) factorized geometry
     tensor_io: bool = False,  # x IS the channel-leading tensor; return same
+    var: tuple | None = None,  # (nz_idx, A_nz (K, EQ), n_eq) variable coefficients
 ) -> jnp.ndarray:
     """Full constrained-free local apply on the global lattice; (n_rows, c).
 
@@ -259,7 +260,7 @@ def local_apply_lattice(
     t = x if tensor_io else x.T.reshape((c,) + tuple(reversed(n1)))
     qsh = tuple(q1 * n for n in reversed(ne))
     fused_z = geom is not None or (
-        A_const is not None
+        (A_const is not None or var is not None)
         and dim == 3
         and jax.default_backend() == "tpu"
         and os.environ.get("L3STER_TPU_FUSED_Z", "1") not in ("0", "false")
@@ -284,7 +285,7 @@ def local_apply_lattice(
             Ji_l.reshape(dim * dim, S, R * Q),
             w_l.reshape(S, R * Q),
         )
-        if os.environ.get("L3STER_TPU_ZSWEEP", "v2") == "v1":
+        if var is None and os.environ.get("L3STER_TPU_ZSWEEP", "v2") == "v1":
             from .pallas_zsweep import fused_z_sweep
 
             if geom is not None:
@@ -296,10 +297,16 @@ def local_apply_lattice(
             )
         else:
             Ngz, Dgz = banded_tables(order, q_order, ne[2])  # host numpy
+            var_t = None
+            if var is not None:
+                nz_idx, A_nz, n_eq_v = var
+                var_t = (nz_idx, A_nz.reshape(-1, S, R * Q), n_eq_v)
             a, ady, adx = fused_z_sweep_v2(
-                np.asarray(A_const), b, bdy, bdx, geom_t, NzT, DzT,
+                None if A_const is None else np.asarray(A_const),
+                b, bdy, bdx, geom_t, NzT, DzT,
                 interpret=jax.default_backend() == "cpu",
                 host_tables=(Ngz.T, Dgz.T),
+                var=var_t,
             )
         a = a.reshape(n1z, c, R, Q)
         ady = ady.reshape(n1z, c, R, Q)
@@ -343,6 +350,13 @@ def local_apply_lattice(
     rd = [[d[u].reshape(EQ) for u in range(c)] for d in ders]
     if A_const is not None:
         t0, tr = _qp_algebra_const(np.asarray(A_const), Ji_l, w_l, vals_l, rd, dim, c, x.dtype)
+    elif var is not None:
+        from ..algsys.local import _qp_algebra_nz
+
+        nz_idx, A_nz, n_eq_v = var
+        t0, tr = _qp_algebra_nz(
+            nz_idx, A_nz, n_eq_v, Ji_l, w_l, vals_l, rd, dim, c
+        )
     else:
         t0, tr = _qp_algebra_packed(A_t, Ji_l, w_l, vals_l, rd, dim, c)
     t0s = jnp.stack([ti.reshape(qsh) for ti in t0])

@@ -84,8 +84,15 @@ def _split_hi_lo(T: np.ndarray, split: bool, dtype):
     return jnp.asarray(hi_b), jnp.asarray(lo_b)
 
 
-def _make_kernel(A: np.ndarray, c: int, diag: bool, split: bool, LB: int, S: int, Sp: int):
-    d1, n_eq = A.shape[0], A.shape[1]
+def _make_kernel(
+    A: np.ndarray | None, c: int, diag: bool, split: bool, LB: int, S: int, Sp: int,
+    var_spec: tuple | None = None,  # (nz_idx, n_eq): streamed variable A
+):
+    if var_spec is not None:
+        nz_idx, n_eq = var_spec
+        d1 = 4
+    else:
+        d1, n_eq = A.shape[0], A.shape[1]
     assert d1 == 4, "fused z-sweep is 3D-only"
     HI = jax.lax.Precision.HIGHEST
 
@@ -115,12 +122,15 @@ def _make_kernel(A: np.ndarray, c: int, diag: bool, split: bool, LB: int, S: int
         )
 
     def kernel(*refs):
+        av_ref = None
         if diag:
             (b_ref, bdy_ref, bdx_ref, jx_ref, jy_ref, jz_ref, wz_ref,
-             tndh, tndl, gnh, gnl, gdh, gdl, a_ref, ady_ref, adx_ref) = refs
+             *rest) = refs
         else:
-            (b_ref, bdy_ref, bdx_ref, ji_ref, w_ref,
-             tndh, tndl, gnh, gnl, gdh, gdl, a_ref, ady_ref, adx_ref) = refs
+            (b_ref, bdy_ref, bdx_ref, ji_ref, w_ref, *rest) = refs
+        if var_spec is not None:
+            av_ref, *rest = rest
+        (tndh, tndl, gnh, gnl, gdh, gdl, a_ref, ady_ref, adx_ref) = rest
         dt = jnp.float32 if split else b_ref.dtype
 
         def lane_rep(x):  # (r, LB) -> (r, c*LB)
@@ -153,24 +163,41 @@ def _make_kernel(A: np.ndarray, c: int, diag: bool, split: bool, LB: int, S: int
         gp = (v, px, py, pz)
         # ---- r_i = (sum_{d,u} A[d,i,u] g_d,u) * w   on the (S, LB) tile
         rw = []
-        for i in range(n_eq):
-            terms = []
-            for u in range(c):
-                sl = slice(u * LB, (u + 1) * LB)
-                for d in range(d1):
-                    if A[d, i, u] != 0.0:
-                        terms.append(float(A[d, i, u]) * gp[d][:, sl])
-            rw.append((sum(terms) * wtile) if terms else None)
+        if var_spec is not None:
+            # variable A: nonzero (d,i,u) planes streamed per tile (av_ref)
+            for i in range(n_eq):
+                terms = [
+                    av_ref[k] * gp[d][:, u * LB : (u + 1) * LB]
+                    for k, (d, ii, u) in enumerate(nz_idx)
+                    if ii == i
+                ]
+                rw.append((sum(terms) * wtile) if terms else None)
+        else:
+            for i in range(n_eq):
+                terms = []
+                for u in range(c):
+                    sl = slice(u * LB, (u + 1) * LB)
+                    for d in range(d1):
+                        if A[d, i, u] != 0.0:
+                            terms.append(float(A[d, i, u]) * gp[d][:, sl])
+                rw.append((sum(terms) * wtile) if terms else None)
         # ---- t_d,u = sum_i A[d,i,u] r_i, channels back into lane blocks
         zero = None
 
         def tblock(d, u):
             nonlocal zero
-            terms = [
-                float(A[d, i, u]) * rw[i]
-                for i in range(n_eq)
-                if A[d, i, u] != 0.0 and rw[i] is not None
-            ]
+            if var_spec is not None:
+                terms = [
+                    av_ref[k] * rw[i]
+                    for k, (dd, i, uu) in enumerate(nz_idx)
+                    if dd == d and uu == u and rw[i] is not None
+                ]
+            else:
+                terms = [
+                    float(A[d, i, u]) * rw[i]
+                    for i in range(n_eq)
+                    if A[d, i, u] != 0.0 and rw[i] is not None
+                ]
             if terms:
                 return sum(terms)
             if zero is None:
@@ -200,7 +227,7 @@ def _make_kernel(A: np.ndarray, c: int, diag: bool, split: bool, LB: int, S: int
 
 
 def fused_z_sweep_v2(
-    A_const: np.ndarray,
+    A_const: np.ndarray | None,
     b: jnp.ndarray,  # (n1z, c, RQ) post-y-stage values
     bdy: jnp.ndarray,
     bdx: jnp.ndarray,
@@ -210,19 +237,21 @@ def fused_z_sweep_v2(
     block: int = 512,
     interpret: bool = False,
     host_tables: tuple | None = None,  # numpy (NzT, DzT) when NzT/DzT are traced
+    var: tuple | None = None,  # (nz_idx, A_var (K, S, RQ), n_eq) variable A
 ):
     """Returns (a, ady, adx), each (n1z, c, RQ): the pre-y-transpose tensors."""
     from jax.experimental import pallas as pl
 
-    A = np.asarray(A_const, np.float64)
+    A = None if A_const is None else np.asarray(A_const, np.float64)
     n1z, c, RQ = b.shape
     S = NzT.shape[1]
     Sp = -(-S // 8) * 8
     diag = geom[0] == "diag"
     split = (b.dtype == jnp.float32) and not interpret
     itemsize = np.dtype(b.dtype).itemsize
-    # ~20 live (S, c*LB)-sized arrays in the algebra section
-    per_lane = max(1, 20 * S * itemsize * c)
+    K_var = 0 if var is None else int(var[1].shape[0])
+    # ~20 live (S, c*LB)-sized arrays in the algebra section (+K var planes)
+    per_lane = max(1, (20 * c + K_var) * S * itemsize)
     vmem_cap = max(128, (10_000_000 // per_lane) // 128 * 128)
     LB = max(128, (min(block, vmem_cap, RQ) // 128) * 128)
     n_blocks = -(-RQ // LB)
@@ -254,7 +283,10 @@ def fused_z_sweep_v2(
     gnh, gnl = _split_hi_lo(npN.T, split, b.dtype)  # (S, n1z)
     gdh, gdl = _split_hi_lo(npD.T, split, b.dtype)
 
-    kernel = _make_kernel(A, c, diag, split, LB, S, Sp)
+    kernel = _make_kernel(
+        A, c, diag, split, LB, S, Sp,
+        var_spec=None if var is None else (var[0], var[2]),
+    )
     bl = pl.BlockSpec((n1z, c * LB), lambda r: (0, r))
     in_specs = [bl, bl, bl]
     args = [to_lanes(b), to_lanes(bdy), to_lanes(bdx)]
@@ -285,6 +317,12 @@ def fused_z_sweep_v2(
             pl.BlockSpec((9, S, LB), lambda r: (0, 0, r)),
             pl.BlockSpec((S, LB), lambda r: (0, r)),
         ]
+    if var is not None:
+        A_var = var[1]
+        if RQp != RQ:
+            A_var = jnp.pad(A_var, ((0, 0), (0, 0), (0, RQp - RQ)))
+        args += [A_var]
+        in_specs += [pl.BlockSpec((K_var, S, LB), lambda r: (0, 0, r))]
     args += [tndh, tndl, gnh, gnl, gdh, gdl]
     in_specs += [
         pl.BlockSpec((n1z, 2 * Sp), lambda r: (0, 0)),

@@ -6,31 +6,33 @@ mesh, but it cannot use the lattice fast path (global banded sum-factorization
 + the fused Pallas z-sweep), which is several times faster per element.
 
 For structured lattice meshes (every generated Cube mesh) the textbook TPU
-decomposition applies: split the element grid into contiguous slabs along the
-outermost (z) axis, give each shard its node-plane slab as a DENSE tensor
-(shared interface planes duplicated, ghost copy kept at zero), and run the
-FULL single-chip lattice apply per shard inside one ``shard_map`` program.
-The halo exchange is two neighbor ``ppermute`` plane transfers per apply
-(import the ghost plane, export its partial result back) — O(plane) traffic
-riding adjacent ICI links.
+decomposition applies: split the element grid into contiguous windows along
+the outermost (z) axis and optionally the y axis — a (Pz, Py) PENCIL grid —
+give each shard its node-window as a DENSE tensor (shared interface planes
+duplicated, ghost copies kept at zero), and run the FULL single-chip lattice
+apply per shard inside one ``shard_map`` program.  The halo exchange is two
+neighbor ``ppermute`` plane transfers per decomposed axis per apply: imports
+run z-then-y so the y transfer carries the just-filled z-ghost corner values,
+exports run y-then-z so corner partials accumulate through the same
+sequencing (the standard multi-axis halo trick — no diagonal transfers).
 
 Supported per-shard contributions (the full flagship benchmark configuration):
 
 - any number of constant-coefficient lattice volume kernels (full-Jacobian or
   factorized diagonal geometry) sharing one lattice plan;
-- boundary-side contributions on full lattice faces: x/y faces are split
-  along z with the slabs (interface-adjacent partials ride the existing plane
-  export), z faces are computed on their end shard and masked elsewhere;
-- uneven slab counts: the element grid need not divide by the shard count —
-  trailing shards carry zero-weighted padding planes (an empty slab is fine).
+- boundary-side contributions on full lattice faces, window-sliced per shard
+  (a shard computes the sub-rectangle of face elements it owns; shards not
+  touching the face carry zero-weight padding);
+- uneven windows along each decomposed axis: trailing shards carry
+  zero-weighted padding planes (an empty window is fine).
 
-``box_parallelize(system, n_shards)`` wraps an assembled single-chip
-MatrixFreeSystem: assembly metadata (rhs, diagonal, Dirichlet data) is reused
-as-is — assembly is embarrassingly parallel and amortized — while the CG-loop
-operator (the scaled hot path) runs slab-decomposed.  The wrapper implements
-the solver protocol (operator_parts / effective_rhs / diagonal /
-solution_vector), so every Krylov solver and operator-preconditioner works
-unchanged.
+``box_parallelize(system, n_shards, grid=(Pz, Py))`` wraps an assembled
+single-chip MatrixFreeSystem: assembly metadata (rhs, diagonal, Dirichlet
+data) is reused as-is — assembly is embarrassingly parallel and amortized —
+while the CG-loop operator (the scaled hot path) runs window-decomposed.  The
+wrapper implements the solver protocol (operator_parts / effective_rhs /
+diagonal / solution_vector), so every Krylov solver and operator-
+preconditioner works unchanged.
 
 Reference analog: ``comm/DistributeMesh.hpp`` + ``MatrixFreeSystem`` under
 MPI (``algsys/MatrixFreeSystem.hpp:1019-1140``), specialized to the
@@ -47,9 +49,13 @@ __all__ = ["BoxSystem", "box_parallelize"]
 
 
 class BoxSystem:
-    """Slab-decomposed operator wrapper around a single-chip MatrixFreeSystem."""
+    """Window-decomposed operator wrapper around a single-chip MatrixFreeSystem.
 
-    def __init__(self, system, n_shards: int | None = None, devices=None):
+    ``grid=(Pz, Py)`` splits the element lattice into Pz z-slabs times Py
+    y-strips (default ``(n_shards, 1)``: pure z-slabs).
+    """
+
+    def __init__(self, system, n_shards: int | None = None, devices=None, grid=None):
         self.inner = system
         devices = devices if devices is not None else jax.devices()
         self.n_shards = int(n_shards or len(devices))
@@ -57,6 +63,11 @@ class BoxSystem:
             raise ValueError(
                 f"requested {self.n_shards} shards but only {len(devices)} devices"
             )
+        if grid is None:
+            grid = (self.n_shards, 1)
+        self.grid = (int(grid[0]), int(grid[1]))
+        if self.grid[0] * self.grid[1] != self.n_shards:
+            raise ValueError(f"grid {self.grid} does not cover {self.n_shards} shards")
         self.device_mesh = jax.sharding.Mesh(
             np.asarray(devices[: self.n_shards]), ("shards",)
         )
@@ -69,6 +80,7 @@ class BoxSystem:
     def _setup(self) -> None:
         sysm = self.inner
         P = self.n_shards
+        Pz, Py = self.grid
         contribs = [c for c in sysm._contribs if c.mode != "rhs"]
         vols, faces = [], []
         for c in contribs:
@@ -107,56 +119,108 @@ class BoxSystem:
         if rows is None:
             raise ValueError("box decomposition requires node-major consecutive dofs")
         self._n_rows = rows[1]
-        # uneven slabs: pad the trailing shard(s) with zero-weight planes
-        ne_p = -(-ne[2] // P)
-        self._ne_real = [max(0, min(ne_p, ne[2] - p * ne_p)) for p in range(P)]
-        self._ne_loc = (ne[0], ne[1], ne_p)
-        self._n1_loc = (n1[0], n1[1], ne_p * p_ord + 1)
+        # uneven windows: pad the trailing shard(s) along each decomposed axis
+        ne_pz = -(-ne[2] // Pz)
+        ne_py = -(-ne[1] // Py)
+        self._nez_real = [max(0, min(ne_pz, ne[2] - pz * ne_pz)) for pz in range(Pz)]
+        self._ney_real = [max(0, min(ne_py, ne[1] - py * ne_py)) for py in range(Py)]
+        self._ne_loc = (ne[0], ne_py, ne_pz)
+        self._n1_loc = (n1[0], ne_py * p_ord + 1, ne_pz * p_ord + 1)
         self._n1 = n1
-        nz_loc = self._n1_loc[2]
-        self._z0 = np.array([p * ne_p * p_ord for p in range(P)])
-        RQ = ne[1] * q1 * ne[0] * q1
-        Sz_loc = ne_p * q1
+        self._ne = ne
+        nz_loc, ny_loc = self._n1_loc[2], self._n1_loc[1]
+        self._z0 = np.array([pz * ne_pz * p_ord for pz in range(Pz)])
+        self._y0 = np.array([py * ne_py * p_ord for py in range(Py)])
+        Sz, Sy, Sx = ne[2] * q1, ne[1] * q1, ne[0] * q1
+        Sz_loc, Sy_loc = ne_pz * q1, ne_py * q1
+
+        def qp_window(arr_flat, lead):
+            """Slice an interleaved-QP tensor (lead..., Sz*Sy*Sx) into
+            per-shard windows (P, lead..., Sz_loc*Sy_loc*Sx) with zero pad."""
+            a = np.asarray(arr_flat).reshape(lead + (Sz, Sy, Sx))
+            out = np.zeros((P,) + lead + (Sz_loc, Sy_loc, Sx), a.dtype)
+            for pz in range(Pz):
+                for py in range(Py):
+                    p = pz * Py + py
+                    zr = self._nez_real[pz] * q1
+                    yr = self._ney_real[py] * q1
+                    if zr and yr:
+                        out[p][..., :zr, :yr, :] = a[
+                            ...,
+                            pz * Sz_loc : pz * Sz_loc + zr,
+                            py * Sy_loc : py * Sy_loc + yr,
+                            :,
+                        ]
+            return out.reshape((P,) + lead + (Sz_loc * Sy_loc * Sx,))
 
         self._vol = []
         for c, d in vols:
             if d[0] == "lattice_sf_const":
                 _, A_const, Ji_l, w_l = d
-                Ji = np.asarray(Ji_l)
-                w = np.asarray(w_l)
-                padn = P * Sz_loc * RQ - w.shape[0]
-                if padn:
-                    Ji = np.concatenate(
-                        [Ji, np.tile(np.eye(3)[:, :, None], (1, 1, padn))], axis=-1
-                    )
-                    w = np.concatenate([w, np.zeros(padn)])
-                ji_st = jnp.asarray(
-                    np.moveaxis(Ji.reshape(3, 3, P, Sz_loc * RQ), 2, 0), self.dtype
-                )
-                w_st = jnp.asarray(w.reshape(P, Sz_loc * RQ), self.dtype)
+                Ji = qp_window(Ji_l, (3, 3))  # zero-pad: w=0 kills padded QPs
+                # padded QPs get identity J to keep values finite
+                w = qp_window(w_l, ())
+                wz = w.reshape(P, Sz_loc, Sy_loc, Sx)
+                pad = wz == 0.0
+                Jw = Ji.reshape(P, 3, 3, Sz_loc, Sy_loc, Sx)
+                for i in range(3):
+                    Jw[:, i, i][pad] = 1.0
                 self._vol.append(
-                    dict(kind="full", A=np.asarray(A_const), ji_st=ji_st, w_st=w_st)
+                    dict(
+                        kind="full",
+                        A=np.asarray(A_const),
+                        ji_st=jnp.asarray(
+                            Jw.reshape(P, 3, 3, Sz_loc * Sy_loc * Sx), self.dtype
+                        ),
+                        w_st=jnp.asarray(w, self.dtype),
+                    )
                 )
             else:
                 _, A_const = d[0], d[1]
                 jx, jy, jz, wyx, wz = (np.asarray(x) for x in d[2:])
-                padn = P * Sz_loc - jz.shape[0]
-                if padn:
-                    jz = np.concatenate([jz, np.ones((padn, 1))])
-                    wz = np.concatenate([wz, np.zeros((padn, 1))])
+                # per-axis windows; RQ_loc = Sy_loc*Sx
+                jz_st = np.ones((Pz, Sz_loc, 1))
+                wz_st = np.zeros((Pz, Sz_loc, 1))
+                for pz in range(Pz):
+                    zr = self._nez_real[pz] * q1
+                    if zr:
+                        jz_st[pz, :zr] = jz[pz * Sz_loc : pz * Sz_loc + zr]
+                        wz_st[pz, :zr] = wz[pz * Sz_loc : pz * Sz_loc + zr]
+                jym = jy.reshape(Sy, Sx)
+                wym = wyx.reshape(Sy, Sx)
+                jxm = jx.reshape(Sy, Sx)
+                jy_st = np.ones((Py, 1, Sy_loc * Sx))
+                wy_st = np.zeros((Py, 1, Sy_loc * Sx))
+                jx_st = np.ones((Py, 1, Sy_loc * Sx))
+                for py in range(Py):
+                    yr = self._ney_real[py] * q1
+                    if yr:
+                        seg = slice(py * Sy_loc, py * Sy_loc + yr)
+                        jy_w = np.ones((Sy_loc, Sx))
+                        wy_w = np.zeros((Sy_loc, Sx))
+                        jx_w = np.ones((Sy_loc, Sx))
+                        jy_w[:yr] = jym[seg]
+                        wy_w[:yr] = wym[seg]
+                        jx_w[:yr] = jxm[seg]
+                        jy_st[py, 0] = jy_w.reshape(-1)
+                        wy_st[py, 0] = wy_w.reshape(-1)
+                        jx_st[py, 0] = jx_w.reshape(-1)
+                # stack to the flat shard axis: (P, ...) with p = pz*Py + py
                 self._vol.append(
                     dict(
                         kind="diag",
                         A=np.asarray(d[1]),
-                        jz_st=jnp.asarray(jz.reshape(P, Sz_loc, 1), self.dtype),
-                        wz_st=jnp.asarray(wz.reshape(P, Sz_loc, 1), self.dtype),
-                        jx=jnp.asarray(jx, self.dtype),
-                        jy=jnp.asarray(jy, self.dtype),
-                        wyx=jnp.asarray(wyx, self.dtype),
+                        jz_st=jnp.asarray(np.repeat(jz_st, Py, axis=0), self.dtype),
+                        wz_st=jnp.asarray(np.repeat(wz_st, Py, axis=0), self.dtype),
+                        jx_st=jnp.asarray(np.tile(jx_st, (Pz, 1, 1)), self.dtype),
+                        jy_st=jnp.asarray(np.tile(jy_st, (Pz, 1, 1)), self.dtype),
+                        wyx_st=jnp.asarray(np.tile(wy_st, (Pz, 1, 1)), self.dtype),
                     )
                 )
 
-        # boundary faces
+        # boundary faces: every face becomes a window-sliced sharded strip —
+        # a shard computes the sub-rectangle of canonical face elements inside
+        # its (ey, ez) windows (zero-weight padding off-face / off-window)
         self._faces = []
         for c, d, fp in faces:
             _, A, B, w = d
@@ -167,102 +231,153 @@ class BoxSystem:
             if finv is not None:  # block order -> canonical face order
                 A, B, w = A[finv], B[finv], w[finv]
             axis, hi = fp["axis"], fp["hi"]
-            if axis == 2:
-                # the hi face lives on the last shard that owns real elements
-                # (trailing shards may be empty under uneven decomposition)
-                owner = max(p for p in range(P) if self._ne_real[p]) if hi else 0
-                plane = self._ne_real[owner] * p_ord if hi else 0
-                p2d = (fp["plan2d"][0], fp["plan2d"][1], None, None)
-                fp_loc = dict(
-                    axis=2, hi=hi, n1=self._n1_loc, plan2d=p2d, plane=plane
-                )
-                self._faces.append(
-                    dict(
-                        kind="plane", owner=owner, fp=fp_loc,
-                        A=jnp.asarray(A, self.dtype), B=jnp.asarray(B, self.dtype),
-                        w=jnp.asarray(w, self.dtype),
-                    )
-                )
-            else:
-                # x/y faces: canonical face order is z-outer, so slabs are
-                # contiguous element slices; pad trailing shards with w=0
-                rem0 = 1 - axis  # the other in-plane axis (rem = [rem0, 2])
-                nrem0 = ne[rem0]
-                E_loc = nrem0 * ne_p
-                shp_A = (P, E_loc) + A.shape[1:]
-                A_st = np.zeros(shp_A, A.dtype)
-                B_st = np.zeros((P, E_loc) + B.shape[1:], B.dtype)
-                w_st = np.zeros((P, E_loc) + w.shape[1:], w.dtype)
-                for p in range(P):
-                    s = p * ne_p * nrem0
-                    nreal = self._ne_real[p] * nrem0
-                    A_st[p, :nreal] = A[s : s + nreal]
-                    B_st[p, :nreal] = B[s : s + nreal]
-                    w_st[p, :nreal] = w[s : s + nreal]
-                n12 = fp["plan2d"][0]
-                n12_loc = (n12[0], nz_loc)
-                ne2_loc = (fp["plan2d"][1][0], ne_p)
-                fp_loc = dict(
-                    axis=axis, hi=hi, n1=self._n1_loc,
-                    plan2d=(n12_loc, ne2_loc, None, None),
-                )
-                self._faces.append(
-                    dict(
-                        kind="strip", fp=fp_loc,
-                        A=jnp.asarray(A_st, self.dtype), B=jnp.asarray(B_st, self.dtype),
-                        w=jnp.asarray(w_st, self.dtype),
-                    )
-                )
+            rem = [a for a in range(3) if a != axis]  # face lattice axes
+            ne2 = fp["plan2d"][1]  # canonical (rem[0], rem[1]) element counts
+            # per-shard element windows along each remaining axis
+            def win(a, pz, py):
+                if a == 0:
+                    return 0, ne[0]
+                if a == 1:
+                    return py * ne_py, py * ne_py + self._ney_real[py]
+                return pz * ne_pz, pz * ne_pz + self._nez_real[pz]
 
-        # masks, slab-stacked with ghost plane zeroed
+            # local face-lattice extents (node counts) along rem axes
+            n12_loc = tuple(
+                self._n1_loc[0] if a == 0 else (ny_loc if a == 1 else nz_loc)
+                for a in rem
+            )
+            ne2_loc = tuple(
+                ne[0] if a == 0 else (ne_py if a == 1 else ne_pz) for a in rem
+            )
+            E_loc = max(1, int(np.prod(ne2_loc)))
+            A_st = np.zeros((P, E_loc) + A.shape[1:], A.dtype)
+            B_st = np.zeros((P, E_loc) + B.shape[1:], B.dtype)
+            w_st = np.zeros((P, E_loc) + w.shape[1:], w.dtype)
+            plane_l = np.zeros(P, np.int64)
+            for pz in range(Pz):
+                for py in range(Py):
+                    p = pz * Py + py
+                    # does this shard touch the face?
+                    if axis == 2:
+                        on = (pz == 0) if not hi else (
+                            self._nez_real[pz]
+                            and pz * ne_pz + self._nez_real[pz] == ne[2]
+                        )
+                        plane_l[p] = (self._nez_real[pz] * p_ord) if hi else 0
+                    elif axis == 1:
+                        on = (py == 0) if not hi else (
+                            self._ney_real[py]
+                            and py * ne_py + self._ney_real[py] == ne[1]
+                        )
+                        plane_l[p] = (self._ney_real[py] * p_ord) if hi else 0
+                    else:
+                        on = True
+                        plane_l[p] = (n1[0] - 1) if hi else 0
+                    if not on or not (self._nez_real[pz] and self._ney_real[py]):
+                        continue
+                    lo0, hi0 = win(rem[0], pz, py)
+                    lo1, hi1 = win(rem[1], pz, py)
+                    if hi0 <= lo0 or hi1 <= lo1:
+                        continue
+                    # canonical face index rect: e = i0 + ne2[0]*i1
+                    i0 = np.arange(lo0, hi0)
+                    i1 = np.arange(lo1, hi1)
+                    src = (i0[None, :] + ne2[0] * i1[:, None]).reshape(-1)
+                    # local slot: windows start at 0 locally
+                    l0 = i0 - lo0
+                    l1 = i1 - lo1
+                    dst = (l0[None, :] + ne2_loc[0] * l1[:, None]).reshape(-1)
+                    A_st[p, dst] = A[src]
+                    B_st[p, dst] = B[src]
+                    w_st[p, dst] = w[src]
+            fp_loc = dict(
+                axis=axis, hi=hi, n1=self._n1_loc,
+                plan2d=(n12_loc, ne2_loc, None, None),
+            )
+            self._faces.append(
+                dict(
+                    fp=fp_loc,
+                    plane_st=jnp.asarray(plane_l.reshape(P, 1)),
+                    A=jnp.asarray(A_st, self.dtype),
+                    B=jnp.asarray(B_st, self.dtype),
+                    w=jnp.asarray(w_st, self.dtype),
+                )
+            )
+
+        # masks, window-stacked with ghost planes zeroed
         free_g = np.asarray(sysm.free_mask, dtype=np.float64)
         self._free_st = jnp.asarray(self._to_slabs(free_g[:, None])[..., 0], self.dtype)
         dir_g = 1.0 - free_g
         dir_st = self._to_slabs(dir_g[:, None])[..., 0]
         self._dir_st = jnp.asarray(dir_st, self.dtype)
-        # ownership: ghost plane (first plane of shards p>0) and padding planes
-        own = np.ones((P, nz_loc, n1[1], n1[0], self._n_unk))
-        own[1:, 0] = 0.0
-        for p in range(P):
-            own[p, self._ne_real[p] * p_ord + 1 :] = 0.0
+        # ownership: ghost planes (first z-plane of pz>0, first y-row of py>0)
+        # and padding planes zeroed
+        own = np.ones((P, nz_loc, ny_loc, n1[0], self._n_unk))
+        for pz in range(Pz):
+            for py in range(Py):
+                p = pz * Py + py
+                if pz > 0:
+                    own[p, 0] = 0.0
+                if py > 0:
+                    own[p, :, 0] = 0.0
+                own[p, self._nez_real[pz] * p_ord + 1 :] = 0.0
+                own[p, :, self._ney_real[py] * p_ord + 1 :] = 0.0
         self._own_st = jnp.asarray(own.reshape(P, -1), self.dtype)
 
     def _to_slabs(self, xg: np.ndarray) -> np.ndarray:
-        """(n_dofs, r) global -> (P, nz_loc*ny*nx*c, r) stacked slabs, ghost
-        planes (first plane of shards p>0) and padding planes zeroed."""
+        """(n_dofs, r) global -> (P, nz_loc*ny_loc*nx*c, r) stacked windows,
+        ghost planes (first z-plane of pz>0 shards, first y-row of py>0
+        shards) and padding planes zeroed."""
         P = self.n_shards
+        Pz, Py = self.grid
         n1 = self._n1
-        nz_loc = self._n1_loc[2]
+        nz_loc, ny_loc = self._n1_loc[2], self._n1_loc[1]
         c = self._n_unk
         r = xg.shape[-1]
         x3 = np.asarray(xg).reshape(n1[2], n1[1], n1[0], c, r)
-        out = np.zeros((P, nz_loc, n1[1], n1[0], c, r), dtype=x3.dtype)
-        for p in range(P):
-            nreal = self._ne_real[p] * self._order + 1 if self._ne_real[p] else 0
-            if nreal:
-                out[p, :nreal] = x3[self._z0[p] : self._z0[p] + nreal]
-            if p > 0:
-                out[p, 0] = 0.0
+        out = np.zeros((P, nz_loc, ny_loc, n1[0], c, r), dtype=x3.dtype)
+        for pz in range(Pz):
+            for py in range(Py):
+                p = pz * Py + py
+                nzr = self._nez_real[pz] * self._order + 1 if self._nez_real[pz] else 0
+                nyr = self._ney_real[py] * self._order + 1 if self._ney_real[py] else 0
+                if nzr and nyr:
+                    out[p, :nzr, :nyr] = x3[
+                        self._z0[pz] : self._z0[pz] + nzr,
+                        self._y0[py] : self._y0[py] + nyr,
+                    ]
+                if pz > 0:
+                    out[p, 0] = 0.0
+                if py > 0:
+                    out[p, :, 0] = 0.0
         return out.reshape(P, -1, r)
 
     def _from_slabs(self, x_st: np.ndarray) -> np.ndarray:
         """(P, L, r) stacked -> (n_dofs, r) global (owned planes only)."""
         P = self.n_shards
+        Pz, Py = self.grid
         n1 = self._n1
-        nz_loc = self._n1_loc[2]
+        nz_loc, ny_loc = self._n1_loc[2], self._n1_loc[1]
         c = self._n_unk
         r = x_st.shape[-1]
-        xs = np.asarray(x_st).reshape(P, nz_loc, n1[1], n1[0], c, r)
+        xs = np.asarray(x_st).reshape(P, nz_loc, ny_loc, n1[0], c, r)
         out = np.zeros((n1[2], n1[1], n1[0], c, r), dtype=xs.dtype)
-        for p in range(P):
-            if not self._ne_real[p]:
-                continue
-            lo = 1 if p > 0 else 0
-            nreal = self._ne_real[p] * self._order + 1
-            out[self._z0[p] + lo : self._z0[p] + nreal] = xs[p, lo:nreal]
+        for pz in range(Pz):
+            for py in range(Py):
+                p = pz * Py + py
+                if not (self._nez_real[pz] and self._ney_real[py]):
+                    continue
+                zlo = 1 if pz > 0 else 0
+                ylo = 1 if py > 0 else 0
+                nzr = self._nez_real[pz] * self._order + 1
+                nyr = self._ney_real[py] * self._order + 1
+                out[
+                    self._z0[pz] + zlo : self._z0[pz] + nzr,
+                    self._y0[py] + ylo : self._y0[py] + nyr,
+                ] = xs[p, zlo:nzr, ylo:nyr]
         return out.reshape(-1, r)
 
-    # -- the slab-decomposed operator -----------------------------------------
+    # -- the window-decomposed operator -----------------------------------------
 
     def operator_parts(self):
         from jax.sharding import PartitionSpec as P_
@@ -272,13 +387,13 @@ class BoxSystem:
         from ..algsys.local import local_apply_direct
 
         P = self.n_shards
+        Pz, Py = self.grid
         n1l, nel = self._n1_loc, self._ne_loc
-        ny, nx, c = self._n1[1], self._n1[0], self._n_unk
-        nz_loc = n1l[2]
+        nx, c = self._n1[0], self._n_unk
+        nz_loc, ny_loc = n1l[2], n1l[1]
         order, q_order = self._order, self._q_order
-        dtype = self.dtype
-        plane = ny * nx * c
         vols, faces = self._vol, self._faces
+        nxc = nx * c
 
         # flat consts: masks, then per-volume geometry, then per-face arrays
         consts: list = [self._free_st, self._dir_st]
@@ -290,16 +405,19 @@ class BoxSystem:
                 consts += [v["ji_st"], v["w_st"]]
                 specs += [P_("shards"), P_("shards")]
             else:
-                consts += [v["jz_st"], v["wz_st"], v["jx"], v["jy"], v["wyx"]]
-                specs += [P_("shards"), P_("shards"), P_(), P_(), P_()]
+                consts += [v["jz_st"], v["wz_st"], v["jx_st"], v["jy_st"], v["wyx_st"]]
+                specs += [P_("shards")] * 5
         face_off = []
         for f in faces:
             face_off.append(len(consts))
-            consts += [f["A"], f["B"], f["w"]]
-            if f["kind"] == "plane":
-                specs += [P_(), P_(), P_()]
-            else:
-                specs += [P_("shards"), P_("shards"), P_("shards")]
+            consts += [f["A"], f["B"], f["w"], f["plane_st"]]
+            specs += [P_("shards")] * 4
+
+        # z neighbors differ by Py in the flat shard index; y neighbors by 1
+        z_fwd = [(p, (p + Py) % P) for p in range(P)]
+        z_bwd = [(p, (p - Py) % P) for p in range(P)]
+        y_fwd = [(p, (p - p % Py) + (p + 1) % Py) for p in range(P)]
+        y_bwd = [(p, (p - p % Py) + (p - 1) % Py) for p in range(P)]
 
         def fn(x, *cs):
             # shard_map: sharded args arrive with a leading size-1 shard axis
@@ -307,21 +425,20 @@ class BoxSystem:
             x = x[0]
             free_l, dir_l = cs[0][0], cs[1][0]
             me = jax.lax.axis_index("shards")
+            mz, my = me // Py, me % Py
             r = x.shape[-1]
             xm = x * free_l[:, None]
-            x4 = xm.reshape(nz_loc, plane, r)
-            # import: ghost plane <- previous shard's last REAL plane.  With
-            # uneven slabs only trailing shards are short, and a shard's
-            # predecessor is always full, so plane -1 of the predecessor is
-            # its real top plane whenever the receiver owns real elements.
-            recv = jax.lax.ppermute(
-                x4[-1], "shards", [(p, (p + 1) % P) for p in range(P)]
-            )
-            ghost = jnp.where(me > 0, recv, x4[0])
-            x4 = x4.at[0].set(ghost)
-            y4 = jnp.zeros_like(x4)
+            x5 = xm.reshape(nz_loc, ny_loc, nxc, r)
+            # import z: ghost plane <- z-predecessor's last REAL plane (a
+            # shard with real elements always has a FULL predecessor)
+            recv = jax.lax.ppermute(x5[-1], "shards", z_fwd)
+            x5 = x5.at[0].set(jnp.where(mz > 0, recv, x5[0]))
+            # import y AFTER z: the sent row includes the z-ghost corner
+            recv = jax.lax.ppermute(x5[:, -1], "shards", y_fwd)
+            x5 = x5.at[:, 0].set(jnp.where(my > 0, recv, x5[:, 0]))
+            y5 = jnp.zeros_like(x5)
             for rr in range(r):
-                x_loc = x4[:, :, rr].reshape(-1, c)
+                x_loc = x5[:, :, :, rr].reshape(-1, c)
                 y_loc = jnp.zeros_like(x_loc)
                 for v, off in zip(vols, vol_off):
                     if v["kind"] == "full":
@@ -331,34 +448,32 @@ class BoxSystem:
                         )
                     else:
                         jz, wz = cs[off][0], cs[off + 1][0]
-                        jx, jy, wyx = cs[off + 2], cs[off + 3], cs[off + 4]
+                        jx, jy, wyx = cs[off + 2][0], cs[off + 3][0], cs[off + 4][0]
                         y_loc = y_loc + local_apply_lattice(
                             v["A"], None, None, None, order, q_order, n1l, nel,
                             x_loc, geom=("diag", jx, jy, jz, wyx, wz),
                         )
                 for f, off in zip(faces, face_off):
-                    if f["kind"] == "plane":
-                        A, B, w = cs[off], cs[off + 1], cs[off + 2]
-                        xf = face_gather(x_loc, f["fp"], order)
-                        yf = local_apply_direct(A, B, w, xf)
-                        yf = face_scatter_pad(yf, f["fp"], order)
-                        sel = (me == f["owner"]).astype(x_loc.dtype)
-                        y_loc = y_loc + sel * yf
-                    else:
-                        A, B, w = cs[off][0], cs[off + 1][0], cs[off + 2][0]
-                        xf = face_gather(x_loc, f["fp"], order)
-                        yf = local_apply_direct(A, B, w, xf)
-                        y_loc = y_loc + face_scatter_pad(yf, f["fp"], order)
-                y4 = y4.at[:, :, rr].set(y_loc.reshape(nz_loc, plane))
-            # export: first-plane partials belong to the previous shard's
-            # last plane
-            send = jnp.where(me > 0, y4[0], jnp.zeros_like(y4[0]))
-            recv2 = jax.lax.ppermute(
-                send, "shards", [(p, (p - 1) % P) for p in range(P)]
+                    A, B, w = cs[off][0], cs[off + 1][0], cs[off + 2][0]
+                    fp = dict(f["fp"])
+                    fp["plane"] = cs[off + 3][0][0]
+                    xf = face_gather(x_loc, fp, order)
+                    yf = local_apply_direct(A, B, w, xf)
+                    y_loc = y_loc + face_scatter_pad(yf, fp, order)
+                y5 = y5.at[:, :, :, rr].set(y_loc.reshape(nz_loc, ny_loc, nxc))
+            # export y FIRST (carries corner partials into the z-ghost of the
+            # y-neighbor), then z
+            send = jnp.where(my > 0, y5[:, 0], jnp.zeros_like(y5[:, 0]))
+            recv2 = jax.lax.ppermute(send, "shards", y_bwd)
+            y5 = y5.at[:, -1].add(jnp.where(my < Py - 1, recv2, jnp.zeros_like(recv2)))
+            y5 = y5.at[:, 0].set(
+                jnp.where(my > 0, jnp.zeros_like(y5[:, 0]), y5[:, 0])
             )
-            y4 = y4.at[-1].add(jnp.where(me < P - 1, recv2, jnp.zeros_like(recv2)))
-            y4 = y4.at[0].set(jnp.where(me > 0, jnp.zeros_like(y4[0]), y4[0]))
-            y = y4.reshape(-1, r)
+            send = jnp.where(mz > 0, y5[0], jnp.zeros_like(y5[0]))
+            recv2 = jax.lax.ppermute(send, "shards", z_bwd)
+            y5 = y5.at[-1].add(jnp.where(mz < Pz - 1, recv2, jnp.zeros_like(recv2)))
+            y5 = y5.at[0].set(jnp.where(mz > 0, jnp.zeros_like(y5[0]), y5[0]))
+            y = y5.reshape(-1, r)
             y = y * free_l[:, None] + x * dir_l[:, None]
             return y[None]
 
@@ -408,17 +523,22 @@ class BoxSystem:
         return self.inner.n_dofs
 
     def describe(self) -> str:
+        Pz, Py = self.grid
         return (
-            f"BoxSystem: {self.inner.n_dofs} dofs as {self.n_shards} z-slabs of "
-            f"{self._ne_loc[2]} element planes (lattice fast path per shard, "
-            f"{len(self._faces)} boundary faces, 2 ppermute plane exchanges per apply)"
+            f"BoxSystem: {self.inner.n_dofs} dofs as a {Pz}x{Py} pencil grid of "
+            f"{self._ne_loc[2]}x{self._ne_loc[1]} element windows (lattice fast "
+            f"path per shard, {len(self._faces)} boundary faces, "
+            f"{2 * ((Pz > 1) + (Py > 1))} ppermute plane exchanges per apply)"
         )
 
 
-def box_parallelize(system, n_shards: int | None = None, devices=None) -> BoxSystem:
-    """Wrap an assembled single-chip MatrixFreeSystem in the slab-decomposed
+def box_parallelize(
+    system, n_shards: int | None = None, devices=None, grid=None
+) -> BoxSystem:
+    """Wrap an assembled single-chip MatrixFreeSystem in the window-decomposed
     operator.  Requirements: 3D lattice mesh (generated cubes),
     constant-coefficient lattice volume kernels, boundary kernels on full
-    lattice faces; z element counts may be uneven across shards (including
-    empty trailing slabs)."""
-    return BoxSystem(system, n_shards, devices)
+    lattice faces; element counts along each decomposed axis may be uneven
+    across shards (including empty trailing windows).  ``grid=(Pz, Py)``
+    selects a 2D pencil decomposition (default pure z-slabs)."""
+    return BoxSystem(system, n_shards, devices, grid=grid)

@@ -61,6 +61,29 @@ def _precond_parts(precond, system):
     return parts
 
 
+def _cached_solve_fn(system, key_extra, build):
+    """Cache a jitted solve program on the system keyed by (assembly epoch,
+    solver config): a fresh ``@jax.jit`` closure per ``solve()`` call would
+    re-TRACE the whole operator+preconditioner graph every solve (measured
+    ~15s warm overhead for a 3-level MG program through the remote-compile
+    tunnel).  Same invalidation protocol as ``_precond_parts``."""
+    epoch = getattr(system, "_assembly_epoch", None)
+    try:
+        key = (epoch,) + key_extra
+        hash(key)
+    except TypeError:
+        return build()
+    cache = getattr(system, "_solve_fn_cache", None)
+    if cache is None:
+        cache = system._solve_fn_cache = {}
+    elif epoch is not None and any(k[0] != epoch for k in cache):
+        cache.clear()
+    hit = cache.get(key)
+    if hit is None:
+        hit = cache[key] = build()
+    return hit
+
+
 def _col_dots(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Per-column inner products of (..., n_rhs) multivectors -> (n_rhs,).
 
@@ -275,22 +298,31 @@ class CG:
     precond: object = field(default_factory=Identity)
 
     def solve(self, system) -> IterSolveResult:
-        fn, consts = system.operator_parts()
-        M_fn, M_consts = _precond_parts(self.precond, system)
-        b = system.effective_rhs()
         o = self.opts
-        n_oc = len(consts)
 
-        @jax.jit
-        def solve_fn(b, x0, *all_consts):
-            oc = all_consts[:n_oc]
-            pc = all_consts[n_oc:]
-            return cg_solve(
-                lambda v: fn(v, *oc), b, x0=x0,
-                precond=lambda r: M_fn(r, *pc), tol=o.tol, max_iters=o.max_iters,
-                residual_scaling=o.residual_scaling, verbosity=o.verbosity,
-            )
+        def build():
+            fn, consts = system.operator_parts()
+            M_fn, M_consts = _precond_parts(self.precond, system)
+            n_oc = len(consts)
 
+            @jax.jit
+            def solve_fn(b, x0, *all_consts):
+                oc = all_consts[:n_oc]
+                pc = all_consts[n_oc:]
+                return cg_solve(
+                    lambda v: fn(v, *oc), b, x0=x0,
+                    precond=lambda r: M_fn(r, *pc), tol=o.tol, max_iters=o.max_iters,
+                    residual_scaling=o.residual_scaling, verbosity=o.verbosity,
+                )
+
+            return solve_fn, consts, M_consts
+
+        solve_fn, consts, M_consts = _cached_solve_fn(
+            system,
+            ("cg", self.precond, o.tol, o.max_iters, o.residual_scaling, o.verbosity),
+            build,
+        )
+        b = system.effective_rhs()
         x, it, res = solve_fn(b, system.solution_vector(), *consts, *M_consts)
         system.set_solution_vector(x)
         if o.verbosity >= 1:
@@ -306,22 +338,34 @@ class Gmres:
     precond: object = field(default_factory=Identity)
 
     def solve(self, system) -> IterSolveResult:
-        fn, consts = system.operator_parts()
-        M_fn, M_consts = _precond_parts(self.precond, system)
-        b = system.effective_rhs()
         o = self.opts
-        n_oc = len(consts)
 
-        @jax.jit
-        def solve_fn(b, x0, *all_consts):
-            oc = all_consts[:n_oc]
-            pc = all_consts[n_oc:]
-            return gmres_solve(
-                lambda v: fn(v, *oc), b, x0=x0, precond=lambda r: M_fn(r, *pc),
-                tol=o.tol, max_iters=o.max_iters, restart=o.restart,
-                residual_scaling=o.residual_scaling, verbosity=o.verbosity,
-            )
+        def build():
+            fn, consts = system.operator_parts()
+            M_fn, M_consts = _precond_parts(self.precond, system)
+            n_oc = len(consts)
 
+            @jax.jit
+            def solve_fn(b, x0, *all_consts):
+                oc = all_consts[:n_oc]
+                pc = all_consts[n_oc:]
+                return gmres_solve(
+                    lambda v: fn(v, *oc), b, x0=x0, precond=lambda r: M_fn(r, *pc),
+                    tol=o.tol, max_iters=o.max_iters, restart=o.restart,
+                    residual_scaling=o.residual_scaling, verbosity=o.verbosity,
+                )
+
+            return solve_fn, consts, M_consts
+
+        solve_fn, consts, M_consts = _cached_solve_fn(
+            system,
+            (
+                "gmres", self.precond, o.tol, o.max_iters, o.restart,
+                o.residual_scaling, o.verbosity,
+            ),
+            build,
+        )
+        b = system.effective_rhs()
         x, it, res = solve_fn(b, system.solution_vector(), *consts, *M_consts)
         system.set_solution_vector(x)
         if o.verbosity >= 1:

@@ -300,3 +300,66 @@ def test_lattice_faces_match_assembled(order, n1):
     y2 = s_as.operator()(x)
     scale = float(jnp.abs(y2).max())
     assert float(jnp.abs(y1 - y2).max()) < 1e-11 * max(scale, 1.0)
+
+
+@pytest.mark.parametrize("p,ne,qo", [(2, 3, 4), (4, 2, 10)])
+def test_fused_z_sweep_var_parity(p, ne, qo):
+    """The streamed variable-A mode of the v2 kernel (interpret mode) must
+    match the dense-A v1 kernel in f64: nonzero (d,i,u) planes of a
+    spatially-varying coefficient tensor ride per-tile VMEM blocks."""
+    import jax.numpy as jnp
+
+    from l3ster_tpu.ops.lattice_sumfact import _tabs
+    from l3ster_tpu.ops.pallas_zsweep import fused_z_sweep
+    from l3ster_tpu.ops.pallas_zsweep2 import fused_z_sweep_v2
+
+    q1 = qo // 2 + 1
+    nes = (ne,) * 3
+    C = 4
+    S = R = Q = ne * q1
+    EQ = S * R * Q
+    rng = np.random.default_rng(p + 100)
+    dt = jnp.float64
+    tabs = _tabs(p, qo, nes, dt)
+    _, _, (NzT, DzT) = tabs
+    n1z = ne * p + 1
+    b = jnp.asarray(rng.normal(size=(n1z, C, R * Q)), dt)
+    bdy = jnp.asarray(rng.normal(size=(n1z, C, R * Q)), dt)
+    bdx = jnp.asarray(rng.normal(size=(n1z, C, R * Q)), dt)
+    Ji = jnp.asarray(rng.normal(size=(3, 3, EQ)) * 0.1 + np.eye(3)[:, :, None], dt)
+    w = jnp.asarray(rng.uniform(0.5, 1.0, EQ), dt)
+    # spatially-varying A with ~60% structural zeros
+    mask = rng.uniform(size=(4, 7, 4)) > 0.6
+    A_t = rng.normal(size=(4, 7, 4, EQ)) * mask[..., None]
+    nz = tuple(tuple(int(v) for v in ix) for ix in np.argwhere(mask))
+    A_nz = jnp.asarray(np.stack([A_t[d, i, u] for d, i, u in nz]), dt)
+    # oracle: the XLA nonzero-plane algebra on the same z-interpolated data
+    from l3ster_tpu.algsys.local import _qp_algebra_nz
+
+    bs = jnp.einsum("zcq,zS->Scq", b, NzT).reshape(S, C, R * Q)
+    dz = jnp.einsum("zcq,zS->Scq", b, DzT).reshape(S, C, R * Q)
+    dy = jnp.einsum("zcq,zS->Scq", bdy, NzT).reshape(S, C, R * Q)
+    dx = jnp.einsum("zcq,zS->Scq", bdx, NzT).reshape(S, C, R * Q)
+    vals_l = [bs[:, u].reshape(EQ) for u in range(C)]
+    rd = [
+        [dx[:, u].reshape(EQ) for u in range(C)],
+        [dy[:, u].reshape(EQ) for u in range(C)],
+        [dz[:, u].reshape(EQ) for u in range(C)],
+    ]
+    t0, tr = _qp_algebra_nz(nz, A_nz, 7, Ji, w, vals_l, rd, 3, C)
+    t0m = jnp.stack(t0).reshape(C, S, R * Q)
+    tzm = jnp.stack(tr[2]).reshape(C, S, R * Q)
+    tym = jnp.stack(tr[1]).reshape(C, S, R * Q)
+    txm = jnp.stack(tr[0]).reshape(C, S, R * Q)
+    a_ref = jnp.einsum("cSq,zS->zcq", t0m, NzT) + jnp.einsum("cSq,zS->zcq", tzm, DzT)
+    ady_ref = jnp.einsum("cSq,zS->zcq", tym, NzT)
+    adx_ref = jnp.einsum("cSq,zS->zcq", txm, NzT)
+
+    a, ady, adx = fused_z_sweep_v2(
+        None, b, bdy, bdx, ("full", Ji.reshape(9, S, R * Q), w.reshape(S, R * Q)),
+        NzT, DzT, block=256, interpret=True,
+        var=(nz, A_nz.reshape(-1, S, R * Q), 7),
+    )
+    for got, ref in zip((a, ady, adx), (a_ref, ady_ref, adx_ref)):
+        err = float(jnp.abs(got - ref).max() / (jnp.abs(ref).max() + 1e-300))
+        assert err < 1e-11, err
