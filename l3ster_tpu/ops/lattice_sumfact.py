@@ -273,10 +273,13 @@ def local_apply_lattice(
         from .pallas_zsweep2 import fused_z_sweep_v2
 
         (NxT, DxT), (NyT, DyT), (NzT, DzT) = tabs
-        ax = jnp.einsum("czyx,xQ->czyQ", t, NxT, precision=_PREC)
-        adx0 = jnp.einsum("czyx,xQ->czyQ", t, DxT, precision=_PREC)
         S, R, Q = qsh
         n1z = t.shape[1]
+        # NOTE: [N|D] table packing (one matmul with doubled free/contraction
+        # dim) was tried here and measured SLOWER (0.322 vs 0.299 ms at the
+        # flagship): the concat/slice copies outweigh the MXU pass savings
+        ax = jnp.einsum("czyx,xQ->czyQ", t, NxT, precision=_PREC)
+        adx0 = jnp.einsum("czyx,xQ->czyQ", t, DxT, precision=_PREC)
         b = jnp.einsum("czyQ,yR->zcRQ", ax, NyT, precision=_PREC).reshape(n1z, c, R * Q)
         bdy = jnp.einsum("czyQ,yR->zcRQ", ax, DyT, precision=_PREC).reshape(n1z, c, R * Q)
         bdx = jnp.einsum("czyQ,yR->zcRQ", adx0, NyT, precision=_PREC).reshape(n1z, c, R * Q)
