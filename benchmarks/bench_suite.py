@@ -94,15 +94,19 @@ def bench_apply_p_sweep(jnp, lt, jax, orders, n_1d=None, reps=100):
 
                 return jnp.sum(jax.lax.fori_loop(0, K, body, x))
 
-            float(chained(x, *consts))
-            t0 = time.perf_counter()
-            float(chained(x, *consts))
-            t1 = time.perf_counter()
-            float(chained(x, *consts))
-            return min(t1 - t0, time.perf_counter() - t1)
+            float(chained(x, *consts))  # compile + warmup
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(chained(x, *consts))
+                ts.append(time.perf_counter() - t0)
+            ts.sort()
+            return ts[1]  # median of 3: tunnel hiccups corrupt min-of-2 slopes
 
         K1, K2 = reps, 4 * reps
         dt = (chain_total(K2) - chain_total(K1)) / (K2 - K1)
+        if dt <= 0:  # a tunnel stall made the slope collapse; remeasure once
+            dt = (chain_total(K2) - chain_total(K1)) / (K2 - K1)
         q1 = lt.AssemblyOptions().quadrature_order(p) // 2 + 1
         gfl = _flops_apply_3d(p, (n_p - 1) ** 3, 4, 7, q1) / dt / 1e9
         _emit(
