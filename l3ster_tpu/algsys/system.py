@@ -1359,7 +1359,34 @@ class MatrixFreeSystem(_SystemBase):
                         var = (nz_idx, A_nz, n_eq_v)
                         A_c = None
                     key = (tuple(plan[0]), n_rows, n_unk)
-                    for r in range(x.shape[1]):
+                    r_n = x.shape[1]
+                    if A_c is not None and 1 < r_n <= 4:
+                        # multi-RHS lane stacking: rhs columns ride as extra
+                        # channels with a block-diagonal baked A -- ONE
+                        # compiled sweep instead of r copies (zeros of the
+                        # block structure are skipped like any structural 0)
+                        n_eq_c = np.asarray(A_c).shape[1]
+                        A_eff = np.zeros(
+                            (np.asarray(A_c).shape[0], n_eq_c * r_n, n_unk * r_n)
+                        )
+                        for rr in range(r_n):
+                            A_eff[
+                                :, rr * n_eq_c : (rr + 1) * n_eq_c,
+                                rr * n_unk : (rr + 1) * n_unk,
+                            ] = np.asarray(A_c)
+                        t_st = jnp.concatenate(
+                            [_t_in(key, rr) for rr in range(r_n)], axis=0
+                        )
+                        yt = local_apply_lattice(
+                            A_eff, None, Ji_l, w_l, c.tables.order, q_order,
+                            plan[0], plan[1], t_st, geom=geom, tensor_io=True,
+                        )
+                        for rr in range(r_n):
+                            yr = yt[rr * n_unk : (rr + 1) * n_unk]
+                            prev = tacc.get((key, rr))
+                            tacc[(key, rr)] = yr if prev is None else prev + yr
+                        continue
+                    for r in range(r_n):
                         yt = local_apply_lattice(
                             A_c, None, Ji_l, w_l, c.tables.order, q_order,
                             plan[0], plan[1], _t_in(key, r),

@@ -363,3 +363,37 @@ def test_fused_z_sweep_var_parity(p, ne, qo):
     for got, ref in zip((a, ady, adx), (a_ref, ady_ref, adx_ref)):
         err = float(jnp.abs(got - ref).max() / (jnp.abs(ref).max() + 1e-300))
         assert err < 1e-11, err
+
+
+def test_lattice_multi_rhs_stacking():
+    """n_rhs=2 through the lattice path (rhs lane-stacked as extra channels
+    with a block-diagonal baked A) must equal per-column applies."""
+    import l3ster_tpu as lt
+
+    def build(n_rhs):
+        mesh = lt.generate_mesh(lt.make_cube_mesh(np.linspace(0, 1, 4)), order=3)
+        problem = lt.ProblemDefinition(4, [0])
+        params = lt.AlgebraicSystemParams(
+            eval_strategy=lt.OperatorEvaluationStrategy.MATRIX_FREE, n_rhs=n_rhs
+        )
+        s = lt.make_algebraic_system(mesh, problem, None, params)
+        kd = lt.wrap_domain_equation_kernel(
+            _diffusion_3d,
+            lt.KernelParams(dimension=3, n_equations=7, n_unknowns=4, n_rhs=n_rhs),
+        )
+        s.begin_assembly()
+        s.assemble_problem(
+            kd, [0], options=lt.AssemblyOptions(eval_strategy=LocalEvalStrategy.LATTICE_SF)
+        )
+        s.end_assembly()
+        return s
+
+    s2 = build(2)
+    s1 = build(1)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(s2.n_dofs, 2)))
+    y2 = s2.operator()(x)
+    y_cols = jnp.concatenate(
+        [s1.operator()(x[:, :1]), s1.operator()(x[:, 1:])], axis=1
+    )
+    assert float(jnp.abs(y2 - y_cols).max() / jnp.abs(y_cols).max()) < 1e-12
