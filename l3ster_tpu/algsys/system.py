@@ -325,14 +325,24 @@ class _SystemBase:
         return (lambda x, *consts: raw(x)), ()
 
     def operator_parts(self):
-        """(fn, consts): constrained SPD operator as fn(x, *consts)."""
+        """(fn, consts): constrained SPD operator as fn(x, *consts).
+
+        The wrapper closure is cached per (raw fn, free mask) identity: when
+        ``raw_parts`` returns a structurally-cached fn across reassemblies
+        (transient stepping), the constrained fn keeps ITS identity too, so
+        jitted solve programs hit the jax trace cache instead of re-tracing
+        the whole operator graph every step."""
         fn, consts = self.raw_parts()
         free = self.free_mask
+        cache = getattr(self, "_constrained_fn_cache", None)
+        if cache is not None and cache[0] is fn and cache[1] is free:
+            return cache[2], consts
 
         def apply(x, *consts):
             xm = x * free[:, None]
             return fn(xm, *consts) * free[:, None] + x * (1.0 - free)[:, None]
 
+        self._constrained_fn_cache = (fn, free, apply)
         return apply, consts
 
     def operator(self):
@@ -793,12 +803,16 @@ class AssembledSystem(_SystemBase):
 
     def raw_parts(self):
         n = self.n_dofs
+        cached = getattr(self, "_raw_fn_cache", None)
+        if cached is not None:  # stable fn identity across reassemblies
+            return cached, (self.data, self._cols_dev, self._rows_dev)
 
         def apply(x, data, cols, rows):
             return jax.ops.segment_sum(
                 data[:, None] * x[cols], rows, num_segments=n, indices_are_sorted=True
             )
 
+        self._raw_fn_cache = apply
         return apply, (self.data, self._cols_dev, self._rows_dev)
 
     def diagonal(self) -> jnp.ndarray:
@@ -1308,6 +1322,60 @@ class MatrixFreeSystem(_SystemBase):
                 consts.append(jnp.asarray(c.elem_dofs.reshape(c.elem_dofs.shape[0], -1)))
                 spec.append(op + (gi, None, False))
 
+        # structural fn cache: a transient loop re-registers the same
+        # contributions every step with NEW coefficient values but identical
+        # structure -- returning the PREVIOUS apply closure (same identity)
+        # with the fresh consts lets jitted solve programs skip re-tracing
+        # the whole operator graph (measured ~2s/step at the flagship).  The
+        # signature covers dispatch kinds, plan layouts, static-A bytes, all
+        # const shapes/dtypes, and the CONTENT of integer index consts.
+        import hashlib
+
+        h = hashlib.sha1()
+
+        def _fsig(flag):
+            if isinstance(flag, tuple) and len(flag) == 2 and flag[0] == "face":
+                fp = flag[1]
+                n12, ne2, fe, fi = fp["plan2d"]
+                if fe is not None:
+                    h.update(np.asarray(fe).tobytes())
+                return (
+                    "face", fp["axis"], bool(fp["hi"]), tuple(fp["n1"]),
+                    tuple(n12), tuple(ne2), fe is None,
+                )
+            if isinstance(flag, tuple):
+                n1_, ne_, eidx, _ = flag
+                if eidx is not None:
+                    h.update(np.asarray(eidx).tobytes())
+                return ("lat", tuple(n1_), tuple(ne_), eidx is None)
+            return flag
+
+        sig_items = []
+        for c, (kind, off, nargs, static_A, gi, n_rows, flag) in zip(contribs, spec):
+            sig_items.append(
+                (
+                    kind, off, nargs, gi, n_rows, _fsig(flag),
+                    c.tables.order, c.tables.side, c.domain_id, c.boundary_id,
+                    c.options.quadrature_order(c.tables.order),
+                    tuple(c.elem_dofs.shape), tuple(c.dof_inds),
+                )
+            )
+            if static_A is None:
+                sig_items.append(None)
+            elif isinstance(static_A, tuple):  # lattice_sf_var (nz, n_eq)
+                sig_items.append(static_A)
+            else:
+                h.update(np.asarray(static_A).tobytes())
+                sig_items.append("A")
+        for arr in consts:
+            sig_items.append((tuple(arr.shape), str(arr.dtype)))
+            if jnp.issubdtype(arr.dtype, jnp.integer):
+                h.update(np.asarray(arr).tobytes())
+        sig = (tuple(sig_items), h.hexdigest())
+        cached = getattr(self, "_raw_fn_cache", None)
+        if cached is not None and cached[0] == sig:
+            return cached[1], tuple(consts)
+
         def apply(x, *consts):
             from ..ops.lattice import lattice_gather, lattice_scatter_add
 
@@ -1512,6 +1580,7 @@ class MatrixFreeSystem(_SystemBase):
                 y = y.at[:, r].add(acc.reshape(n_unk_k, -1).T.reshape(-1))
             return y
 
+        self._raw_fn_cache = (sig, apply)
         return apply, tuple(consts)
 
     def diagonal(self) -> jnp.ndarray:

@@ -294,15 +294,37 @@ class BoxSystem:
                 axis=axis, hi=hi, n1=self._n1_loc,
                 plan2d=(n12_loc, ne2_loc, None, None),
             )
-            self._faces.append(
-                dict(
-                    fp=fp_loc,
-                    plane_st=jnp.asarray(plane_l.reshape(P, 1)),
-                    A=jnp.asarray(A_st, self.dtype),
-                    B=jnp.asarray(B_st, self.dtype),
-                    w=jnp.asarray(w_st, self.dtype),
-                )
+            entry = dict(
+                fp=fp_loc,
+                plane_st=jnp.asarray(plane_l.reshape(P, 1)),
+                A=jnp.asarray(A_st, self.dtype),
+                B=jnp.asarray(B_st, self.dtype),
+                w=jnp.asarray(w_st, self.dtype),
             )
+            # value-only sides: per-shard banded pack (ONE global 2D sweep on
+            # the shared channel-leading tensor, like the single-chip path)
+            if A.ndim == 5 and A.shape[2] == 1:
+                from ..ops.lattice_sumfact import lattice_qp_perm
+
+                Qf = A.shape[1]
+                qof = c.options.quadrature_order(c.tables.order)
+                q1f = qof // 2 + 1
+                if q1f * q1f == Qf:
+                    perm = lattice_qp_perm(tuple(ne2_loc), q1f)
+                    n_eqf, cf = A.shape[3], A.shape[4]
+                    A_l = np.stack(
+                        [
+                            A_st[p].reshape(E_loc * Qf, n_eqf, cf)[perm].transpose(1, 2, 0)
+                            for p in range(P)
+                        ]
+                    )
+                    w_l = np.stack(
+                        [w_st[p].reshape(E_loc * Qf)[perm] for p in range(P)]
+                    )
+                    entry["A_l"] = jnp.asarray(A_l, self.dtype)
+                    entry["w_l"] = jnp.asarray(w_l, self.dtype)
+                    entry["qof"] = qof
+            self._faces.append(entry)
 
         # masks, window-stacked with ghost planes zeroed
         free_g = np.asarray(sysm.free_mask, dtype=np.float64)
@@ -410,8 +432,12 @@ class BoxSystem:
         face_off = []
         for f in faces:
             face_off.append(len(consts))
-            consts += [f["A"], f["B"], f["w"], f["plane_st"]]
-            specs += [P_("shards")] * 4
+            if "A_l" in f:
+                consts += [f["A_l"], f["w_l"], f["plane_st"]]
+                specs += [P_("shards")] * 3
+            else:
+                consts += [f["A"], f["B"], f["w"], f["plane_st"]]
+                specs += [P_("shards")] * 4
 
         # z neighbors differ by Py in the flat shard index; y neighbors by 1
         z_fwd = [(p, (p + Py) % P) for p in range(P)]
@@ -438,28 +464,56 @@ class BoxSystem:
             x5 = x5.at[:, 0].set(jnp.where(my > 0, recv, x5[:, 0]))
             y5 = jnp.zeros_like(x5)
             for rr in range(r):
-                x_loc = x5[:, :, :, rr].reshape(-1, c)
-                y_loc = jnp.zeros_like(x_loc)
+                # shared channel-leading tensor: the volume sweep and all
+                # faces pay ONE entry/exit transpose (single-chip fast path)
+                t = (
+                    x5[:, :, :, rr]
+                    .reshape(-1, c)
+                    .T.reshape((c,) + tuple(reversed(n1l)))
+                )
+                yt = None
                 for v, off in zip(vols, vol_off):
                     if v["kind"] == "full":
                         ji, w = cs[off][0], cs[off + 1][0]
-                        y_loc = y_loc + local_apply_lattice(
-                            v["A"], None, ji, w, order, q_order, n1l, nel, x_loc,
+                        yv = local_apply_lattice(
+                            v["A"], None, ji, w, order, q_order, n1l, nel, t,
+                            tensor_io=True,
                         )
                     else:
                         jz, wz = cs[off][0], cs[off + 1][0]
                         jx, jy, wyx = cs[off + 2][0], cs[off + 3][0], cs[off + 4][0]
-                        y_loc = y_loc + local_apply_lattice(
+                        yv = local_apply_lattice(
                             v["A"], None, None, None, order, q_order, n1l, nel,
-                            x_loc, geom=("diag", jx, jy, jz, wyx, wz),
+                            t, geom=("diag", jx, jy, jz, wyx, wz), tensor_io=True,
                         )
+                    yt = yv if yt is None else yt + yv
                 for f, off in zip(faces, face_off):
-                    A, B, w = cs[off][0], cs[off + 1][0], cs[off + 2][0]
                     fp = dict(f["fp"])
-                    fp["plane"] = cs[off + 3][0][0]
-                    xf = face_gather(x_loc, fp, order)
-                    yf = local_apply_direct(A, B, w, xf)
-                    y_loc = y_loc + face_scatter_pad(yf, fp, order)
+                    fdim = len(fp["n1"])
+                    pos = 1 + (fdim - 1 - fp["axis"])
+                    if "A_l" in f:
+                        from ..ops.lattice_sumfact import face_apply_banded
+
+                        A_l, w_l = cs[off][0], cs[off + 1][0]
+                        pidx = cs[off + 2][0][0]
+                        plane = jax.lax.dynamic_index_in_dim(
+                            t, pidx, axis=pos, keepdims=False
+                        )
+                        yp = face_apply_banded(
+                            A_l, w_l, fp, order, f["qof"], plane
+                        )
+                        sl = tuple(slice(None) for _ in range(pos)) + (pidx,)
+                        yt = yt.at[sl].add(yp)
+                    else:
+                        A, B, w = cs[off][0], cs[off + 1][0], cs[off + 2][0]
+                        fp["plane"] = cs[off + 3][0][0]
+                        xf = face_gather(t.reshape(c, -1).T, fp, order)
+                        yf = local_apply_direct(A, B, w, xf)
+                        yt = yt + (
+                            face_scatter_pad(yf, fp, order)
+                            .T.reshape((c,) + tuple(reversed(n1l)))
+                        )
+                y_loc = yt.reshape(c, -1).T
                 y5 = y5.at[:, :, :, rr].set(y_loc.reshape(nz_loc, ny_loc, nxc))
             # export y FIRST (carries corner partials into the z-ghost of the
             # y-neighbor), then z

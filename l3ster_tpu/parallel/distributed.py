@@ -745,8 +745,16 @@ class DistributedSystem(_SystemBase):
         return sharded, consts
 
     def operator_parts(self):
+        # stable fn identity per assembly epoch: repeated solves between
+        # reassemblies reuse the cached jitted solve program (zero re-trace)
+        epoch = getattr(self, "_assembly_epoch", None)
+        cache = getattr(self, "_op_parts_cache", None)
+        if cache is not None and cache[0] == epoch:
+            return cache[1], cache[2]
         sharded, consts = self._sharded_apply(constrained=True)
-        return (lambda x, *cs: sharded(x, *cs)), consts
+        fn = lambda x, *cs: sharded(x, *cs)  # noqa: E731
+        self._op_parts_cache = (epoch, fn, consts)
+        return fn, consts
 
     def operator(self):
         fn, consts = self.operator_parts()

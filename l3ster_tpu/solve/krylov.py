@@ -62,25 +62,27 @@ def _precond_parts(precond, system):
 
 
 def _cached_solve_fn(system, key_extra, build):
-    """Cache a jitted solve program on the system keyed by (assembly epoch,
-    solver config): a fresh ``@jax.jit`` closure per ``solve()`` call would
-    re-TRACE the whole operator+preconditioner graph every solve (measured
-    ~15s warm overhead for a 3-level MG program through the remote-compile
-    tunnel).  Same invalidation protocol as ``_precond_parts``."""
-    epoch = getattr(system, "_assembly_epoch", None)
+    """Cache a jitted solve program on the system keyed by the solver config
+    AND the operator/preconditioner fn OBJECTS: a fresh ``@jax.jit`` closure
+    per ``solve()`` call would re-TRACE the whole operator+preconditioner
+    graph every solve (measured ~15s warm overhead for a 3-level MG program
+    through the remote-compile tunnel).  Keying by the fns themselves makes
+    invalidation follow identity: structurally-cached operators (transient
+    stepping re-assemblies) keep their fn across epochs and HIT; rebuilt fns
+    (new structure, value-baking preconditioners) miss and re-jit.  Keys hold
+    strong references, so fn ids are never recycled into stale hits."""
     try:
-        key = (epoch,) + key_extra
-        hash(key)
+        hash(key_extra)
     except TypeError:
         return build()
     cache = getattr(system, "_solve_fn_cache", None)
     if cache is None:
         cache = system._solve_fn_cache = {}
-    elif epoch is not None and any(k[0] != epoch for k in cache):
-        cache.clear()
-    hit = cache.get(key)
+    hit = cache.get(key_extra)
     if hit is None:
-        hit = cache[key] = build()
+        if len(cache) > 8:  # bound retained programs (and their fn refs)
+            cache.clear()
+        hit = cache[key_extra] = build()
     return hit
 
 
@@ -299,12 +301,11 @@ class CG:
 
     def solve(self, system) -> IterSolveResult:
         o = self.opts
+        fn, consts = system.operator_parts()
+        M_fn, M_consts = _precond_parts(self.precond, system)
+        n_oc = len(consts)
 
         def build():
-            fn, consts = system.operator_parts()
-            M_fn, M_consts = _precond_parts(self.precond, system)
-            n_oc = len(consts)
-
             @jax.jit
             def solve_fn(b, x0, *all_consts):
                 oc = all_consts[:n_oc]
@@ -315,11 +316,12 @@ class CG:
                     residual_scaling=o.residual_scaling, verbosity=o.verbosity,
                 )
 
-            return solve_fn, consts, M_consts
+            return solve_fn
 
-        solve_fn, consts, M_consts = _cached_solve_fn(
+        solve_fn = _cached_solve_fn(
             system,
-            ("cg", self.precond, o.tol, o.max_iters, o.residual_scaling, o.verbosity),
+            ("cg", fn, M_fn, n_oc, len(M_consts), o.tol, o.max_iters,
+             o.residual_scaling, o.verbosity),
             build,
         )
         b = system.effective_rhs()
@@ -339,12 +341,11 @@ class Gmres:
 
     def solve(self, system) -> IterSolveResult:
         o = self.opts
+        fn, consts = system.operator_parts()
+        M_fn, M_consts = _precond_parts(self.precond, system)
+        n_oc = len(consts)
 
         def build():
-            fn, consts = system.operator_parts()
-            M_fn, M_consts = _precond_parts(self.precond, system)
-            n_oc = len(consts)
-
             @jax.jit
             def solve_fn(b, x0, *all_consts):
                 oc = all_consts[:n_oc]
@@ -355,14 +356,12 @@ class Gmres:
                     residual_scaling=o.residual_scaling, verbosity=o.verbosity,
                 )
 
-            return solve_fn, consts, M_consts
+            return solve_fn
 
-        solve_fn, consts, M_consts = _cached_solve_fn(
+        solve_fn = _cached_solve_fn(
             system,
-            (
-                "gmres", self.precond, o.tol, o.max_iters, o.restart,
-                o.residual_scaling, o.verbosity,
-            ),
+            ("gmres", fn, M_fn, n_oc, len(M_consts), o.tol, o.max_iters,
+             o.restart, o.residual_scaling, o.verbosity),
             build,
         )
         b = system.effective_rhs()

@@ -26,6 +26,10 @@ __all__ = [
 ]
 
 
+def _jacobi_apply(r, inv):
+    return inv[..., None] * r if r.ndim == inv.ndim + 1 else inv * r
+
+
 def _assembled_csr(system, who: str):
     csr = getattr(system, "eliminated_csr", None)
     if csr is None:
@@ -113,13 +117,17 @@ def _schwarz_wrap(system, local_apply, consts, overlap: int):
     return (lambda r, *cs: sharded(r, *cs)), all_consts
 
 
+def _identity_apply(r, *pc):
+    return r
+
+
 @dataclass(frozen=True)
 class Identity:
     def setup(self, system):
         return lambda r: r
 
     def setup_parts(self, system):
-        return (lambda r, *pc: r), ()
+        return _identity_apply, ()
 
 
 @dataclass(frozen=True)
@@ -160,11 +168,9 @@ class Jacobi:
         d = system.diagonal()
         inv = jnp.where(jnp.abs(d) > self.threshold, self.damping / d, self.damping)
         if self.sweeps <= 1:
-
-            def apply(r, inv):
-                return inv[..., None] * r if r.ndim == inv.ndim + 1 else inv * r
-
-            return apply, (inv,)
+            # module-level fn: its identity survives reassembly epochs, so
+            # cached solve programs need no re-trace in transient loops
+            return _jacobi_apply, (inv,)
         fn, oconsts = system.operator_parts()
         n_sweeps = self.sweeps
 

@@ -397,3 +397,55 @@ def test_lattice_multi_rhs_stacking():
         [s1.operator()(x[:, :1]), s1.operator()(x[:, 1:])], axis=1
     )
     assert float(jnp.abs(y2 - y_cols).max() / jnp.abs(y_cols).max()) < 1e-12
+
+
+def test_structural_fn_cache_reassembly():
+    """Re-assembling with CHANGED coefficient values must flow through the
+    structurally-cached operator fn (same identity -> no re-trace) and still
+    produce the new operator's values."""
+    import l3ster_tpu as lt
+
+    mesh = lt.generate_mesh(lt.make_cube_mesh(np.linspace(0, 1, 3)), order=2)
+    problem = lt.ProblemDefinition(4, [0])
+    params = lt.AlgebraicSystemParams(
+        eval_strategy=lt.OperatorEvaluationStrategy.MATRIX_FREE
+    )
+    s = lt.make_algebraic_system(mesh, problem, None, params)
+
+    def kern(scale):
+        # VARIABLE coefficients: values ride the packed consts (A_nz planes),
+        # so reassembly keeps the fn identity; a constant kernel would bake A
+        # into the program (sig mismatch -> correct rebuild instead)
+        def k(inp, out):
+            ops, rhs = out
+            A0, Ax, Ay, Az = ops
+            w = scale * (1.0 + inp.point.x * inp.point.y)
+            Ax[0, 1] = -w
+            A0[1, 1] = -w
+            Ax[1, 0] = w
+            A0[2, 2] = -w
+            Ay[2, 0] = w
+            A0[3, 3] = -w
+            Az[3, 0] = w
+        return k
+
+    def assemble(scale):
+        kd = lt.wrap_domain_equation_kernel(
+            kern(scale), lt.KernelParams(dimension=3, n_equations=4, n_unknowns=4)
+        )
+        s.begin_assembly()
+        s.assemble_problem(kd, [0])
+        s.end_assembly()
+
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(s.n_dofs, 1)))
+    assemble(1.0)
+    fn1, c1 = s.operator_parts()
+    y1 = fn1(x, *c1)
+    assemble(2.0)
+    fn2, c2 = s.operator_parts()
+    y2 = fn2(x, *c2)
+    # same structure -> same fn identity (the no-retrace contract) ...
+    assert fn1 is fn2
+    # ... but the VALUES follow the new assembly (A scales by 2 -> the
+    # least-squares operator A^T W A scales by 4)
+    assert float(jnp.abs(y2 - 4.0 * y1).max() / jnp.abs(y1).max()) < 1e-12
