@@ -78,8 +78,12 @@ def test_karman_mini():
         system.update_solution([0, 1, 2, 3], man, vel2 + [4, 5])
         vel1, vel2 = vel2, vel1
     inflow, outflow = flows(man.field_access(vel1))
-    # coarse-mesh LSFEM: loose conservation bound, but the flow must be sane
-    assert inflow > 0 and abs(inflow - outflow) / inflow < 0.5
+    # coarse-mesh LSFEM conservation: this mini config (2 transient steps on
+    # the minimal mesh) measures 20.2% imbalance deterministically (f64 CPU,
+    # 2026-08-18) -- the flow is not yet developed; 25% catches regressions.
+    # The developed-flow validation is the -m slow Strouhal study (1.37%
+    # steady imbalance on TPU, St=0.2667).
+    assert inflow > 0 and abs(inflow - outflow) / inflow < 0.25
     x = np.asarray(man.values)
     assert np.isfinite(x).all()
     # walls & cylinder are no-slip
