@@ -31,8 +31,18 @@ def _precond_parts(precond, system):
     nonlinear step) reuse factors/level schedules for free, and a reassembly
     (``end_assembly`` bumps the epoch) invalidates them -- the analog of
     Ifpack2's ``initialize``/``compute`` split (factor reuse across solves,
-    ``solve/Ifpack2Preconditioners.hpp:85-96``)."""
+    ``solve/Ifpack2Preconditioners.hpp:85-96``).
+
+    A preconditioner may declare ``lag = k`` (int attribute): its factors are
+    then reused for up to k reassemblies before recomputation -- the standard
+    frozen-preconditioner trick for transient/nonlinear stepping, where the
+    operator drifts slowly and a slightly stale M costs a few extra Krylov
+    iterations but saves the whole setup (host ILU factorization, MG
+    hierarchy) each step."""
     epoch = getattr(system, "_assembly_epoch", None)
+    lag = int(getattr(precond, "lag", 0) or 0)
+    if lag and epoch is not None:
+        epoch = epoch - (epoch % (lag + 1))  # bucket epochs: refresh every k+1
     key = None
     if epoch is not None:
         try:
@@ -44,9 +54,14 @@ def _precond_parts(precond, system):
         cache = getattr(system, "_precond_parts_cache", None)
         if cache is None:
             cache = system._precond_parts_cache = {}
-        elif any(k[1] != epoch for k in cache):
-            # stale factors from an earlier assembly: drop them
-            cache.clear()
+        else:
+            # drop stale factors from earlier (bucketed) epochs -- per entry,
+            # so a lagged preconditioner's live bucket survives other
+            # preconditioners' refreshes
+            for k in [k for k in cache if k[0] == precond and k[1] != epoch]:
+                del cache[k]
+            if len(cache) > 16:  # bound abandoned preconditioners' entries
+                cache.clear()
         hit = cache.get(key)
         if hit is not None:
             return hit

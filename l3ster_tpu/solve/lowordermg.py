@@ -164,6 +164,7 @@ class LowOrderMG:
     n_levels: int = 3
     smooth_degree: int = 2
     cycles: int = 1
+    lag: int = 0  # reuse the hierarchy across up to `lag` reassemblies
     coarse_max_dofs: int = 4000
     eig_ratio: float = 8.0
 

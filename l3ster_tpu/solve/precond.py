@@ -156,6 +156,7 @@ class Jacobi:
 
     threshold: float = 1e-14
     sweeps: int = 1
+    lag: int = 0  # reuse setup across up to `lag` reassemblies (frozen-M)
     damping: float = 1.0
 
     def setup(self, system):
@@ -339,6 +340,7 @@ class SGS:
 
     sweeps: int = 1
     overlap: int = 1
+    lag: int = 0  # reuse factors across up to `lag` reassemblies (frozen-M)
 
     def setup(self, system):
         apply, pc = self.setup_parts(system)
@@ -422,6 +424,7 @@ class ILU0:
     (``overlap`` layers of ghost dofs; symmetric, CG-safe)."""
 
     overlap: int = 1
+    lag: int = 0  # reuse factors across up to `lag` reassemblies (frozen-M)
 
     def setup(self, system):
         apply, pc = self.setup_parts(system)
@@ -483,6 +486,7 @@ class ILUT:
     drop_tol: float = 1e-4
     fill_factor: float = 10.0
     overlap: int = 1
+    lag: int = 0  # reuse factors across up to `lag` reassemblies (frozen-M)
 
     def setup(self, system):
         apply, pc = self.setup_parts(system)

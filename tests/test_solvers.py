@@ -301,3 +301,29 @@ def test_precond_setup_cached_across_solves():
         assert calls["n"] == 2  # reassembly invalidates
     finally:
         lt.ILU0.setup_parts = orig
+
+
+def test_precond_lag_reuses_factors():
+    """ILU0(lag=2) must keep its factors across up to 2 reassembly epochs
+    (frozen-preconditioner transient stepping) and refresh on the next
+    bucket; the solve stays correct with the slightly stale M."""
+    system, x_exact = _spd_system()
+    system._assembly_epoch = 1
+    lagged = lt.ILU0(lag=2)
+    solver = lt.CG(lt.IterSolverOpts(tol=1e-12, max_iters=2000), precond=lagged)
+    solver.solve(system)
+    cache = system._precond_parts_cache
+    key0 = [k for k in cache if k[0] == lagged]
+    assert len(key0) == 1
+    entry = cache[key0[0]]
+    # next epoch within the lag window: same factors object reused
+    system._assembly_epoch = 2
+    solver.solve(system)
+    assert cache[[k for k in cache if k[0] == lagged][0]] is entry
+    # past the window: refreshed
+    system._assembly_epoch = 3
+    solver.solve(system)
+    new = cache[[k for k in cache if k[0] == lagged][0]]
+    assert new is not entry
+    x = np.asarray(system.solution_vector())
+    assert np.abs(x - x_exact).max() / np.abs(x_exact).max() < 1e-7
