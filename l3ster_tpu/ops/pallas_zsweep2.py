@@ -253,6 +253,8 @@ def fused_z_sweep_v2(
     # ~20 live (S, c*LB)-sized arrays in the algebra section (+K var planes)
     per_lane = max(1, (20 * c + K_var) * S * itemsize)
     vmem_cap = max(128, (10_000_000 // per_lane) // 128 * 128)
+    # (13MB cap -> LB=512 was tried: slower, 0.354 vs ~0.31 ms -- the larger
+    # block pads RQ 8.6% vs 3.7% and wins nothing on grid overhead)
     LB = max(128, (min(block, vmem_cap, RQ) // 128) * 128)
     n_blocks = -(-RQ // LB)
     RQp = n_blocks * LB
