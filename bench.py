@@ -74,7 +74,15 @@ def main() -> None:
     system.assemble_problem(kn, [1, 2, 3, 4])
     system.end_assembly()
 
-    fn, consts = system.operator_parts()
+    # the constrained operator in the layout the CG loop actually runs it:
+    # channel-major (lattice) when available — the solver converts layouts
+    # once per solve, so the per-iteration hot op has no entry/exit transpose
+    layout = "lattice" if system.lattice_layout_key() is not None else "dof"
+    fn, consts = (
+        system.operator_parts(layout="lattice")
+        if layout == "lattice"
+        else system.operator_parts()
+    )
     op = jax.jit(fn)
     x = jnp.ones((system.n_dofs, 1), jnp.float32)
     y = op(x, *consts)
@@ -135,6 +143,7 @@ def main() -> None:
                     "n_dofs": system.n_dofs,
                     "device": str(jax.devices()[0]),
                     "dtype": "float32",
+                    "layout": layout,
                 },
             }
         )

@@ -315,34 +315,88 @@ class _SystemBase:
             g = g.at[jnp.asarray(self.dirichlet_dofs)].set(self.dirichlet_values)
         return g
 
-    def raw_parts(self):
+    def raw_parts(self, layout: str = "dof"):
         """(fn, consts): unconstrained operator as fn(x, *consts).
 
         Large x-independent tensors travel as jit ARGUMENTS, not closure
         constants, so they are never inlined into the compiled program.
         """
+        if layout != "dof":
+            raise ValueError(f"{type(self).__name__} supports only the dof layout")
         raw = self.raw_operator()
         return (lambda x, *consts: raw(x)), ()
 
-    def operator_parts(self):
+    def lattice_layout_key(self):
+        """(n1, n_rows, n_unk) when the operator can run on channel-major
+        vectors (see MatrixFreeSystem); None otherwise."""
+        return None
+
+    def to_lattice_layout(self, v: jnp.ndarray) -> jnp.ndarray:
+        """dof-major (node*n_unk+u) -> channel-major (u*n_rows+node) rows."""
+        key = self.lattice_layout_key()
+        if key is None:
+            raise ValueError("system has no lattice layout")
+        _, n_rows, n_unk = key
+        v2 = v[:, None] if v.ndim == 1 else v
+        out = (
+            v2.reshape(n_rows, n_unk, v2.shape[1])
+            .transpose(1, 0, 2)
+            .reshape(v2.shape)
+        )
+        return out[:, 0] if v.ndim == 1 else out
+
+    def from_lattice_layout(self, v: jnp.ndarray) -> jnp.ndarray:
+        """Inverse of :meth:`to_lattice_layout`."""
+        key = self.lattice_layout_key()
+        if key is None:
+            raise ValueError("system has no lattice layout")
+        _, n_rows, n_unk = key
+        v2 = v[:, None] if v.ndim == 1 else v
+        out = (
+            v2.reshape(n_unk, n_rows, v2.shape[1])
+            .transpose(1, 0, 2)
+            .reshape(v2.shape)
+        )
+        return out[:, 0] if v.ndim == 1 else out
+
+    def operator_parts(self, layout: str = "dof"):
         """(fn, consts): constrained SPD operator as fn(x, *consts).
 
-        The wrapper closure is cached per (raw fn, free mask) identity: when
-        ``raw_parts`` returns a structurally-cached fn across reassemblies
-        (transient stepping), the constrained fn keeps ITS identity too, so
-        jitted solve programs hit the jax trace cache instead of re-tracing
-        the whole operator graph every step."""
-        fn, consts = self.raw_parts()
-        free = self.free_mask
+        ``layout="lattice"`` (MatrixFreeSystem on a structured lattice only,
+        see :meth:`MatrixFreeSystem.lattice_layout_key`) builds the operator
+        on CHANNEL-MAJOR vectors (dof' = unknown * n_nodes + node): the
+        lattice fast path then starts with a free reshape instead of a
+        (n_rows, n_unk) transpose whose 4-of-128-lane tiles cost ~30us per
+        apply on TPU.  Callers own the layout conversion (one transpose per
+        SOLVE, not per apply — see solve/krylov.py).
+
+        The wrapper closure is cached per (raw fn, free mask, layout)
+        identity: when ``raw_parts`` returns a structurally-cached fn across
+        reassemblies (transient stepping), the constrained fn keeps ITS
+        identity too, so jitted solve programs hit the jax trace cache
+        instead of re-tracing the whole operator graph every step."""
+        if layout == "lattice":
+            fn, consts = self.raw_parts(layout="lattice")
+            lfc = getattr(self, "_lat_free_cache", None)
+            if lfc is None or lfc[0] is not self.free_mask:
+                lfc = (self.free_mask, self.to_lattice_layout(self.free_mask))
+                self._lat_free_cache = lfc
+            free = lfc[1]
+        else:
+            fn, consts = self.raw_parts()
+            free = self.free_mask
         cache = getattr(self, "_constrained_fn_cache", None)
-        if cache is not None and cache[0] is fn and cache[1] is free:
-            return cache[2], consts
+        if not isinstance(cache, dict):
+            cache = self._constrained_fn_cache = {}
+        hit = cache.get(layout)
+        if hit is not None and hit[0] is fn and hit[1] is free:
+            return hit[2], consts
 
         def apply(x, *consts):
             xm = x * free[:, None]
             return fn(xm, *consts) * free[:, None] + x * (1.0 - free)[:, None]
 
-        self._constrained_fn_cache = (fn, free, apply)
+        cache[layout] = (fn, free, apply)
         return apply, consts
 
     def operator(self):
@@ -1255,7 +1309,16 @@ class MatrixFreeSystem(_SystemBase):
         fn, consts = self.raw_parts()
         return lambda x: fn(x, *consts)
 
-    def raw_parts(self):
+    def lattice_layout_key(self):
+        """(n1, n_rows, n_unk) when EVERY operator contribution runs on the
+        one shared channel-leading lattice tensor (volume lattice sweeps +
+        full-lattice-side faces); None otherwise.  In that case the operator
+        also supports ``raw_parts(layout="lattice")`` on channel-major
+        vectors, skipping the per-apply entry/exit transposes."""
+        self.raw_parts()
+        return getattr(self, "_lattice_key", None)
+
+    def raw_parts(self, layout: str = "dof"):
         from .local import local_apply_sumfact_packed
 
         from .local import local_apply_sumfact_const
@@ -1372,11 +1435,33 @@ class MatrixFreeSystem(_SystemBase):
             if jnp.issubdtype(arr.dtype, jnp.integer):
                 h.update(np.asarray(arr).tobytes())
         sig = (tuple(sig_items), h.hexdigest())
+        # lattice-layout eligibility: every bucket must route through the
+        # shared channel-leading tensor accumulator (tacc below) and agree on
+        # one (n1, n_rows, n_unk) lattice
+        lat_keys = set()
+        tacc_only = True
+        for c, (kind, off, nargs, static_A, gi, n_rows, flag) in zip(contribs, spec):
+            n_unk_c = c.elem_dofs.shape[2]
+            if kind in ("lattice_sf_const", "lattice_sf_var", "lattice_sf_const_diag"):
+                lat_keys.add((tuple(self._lattice_plan(c)[0]), n_rows, n_unk_c))
+            elif kind == "face_banded" or (
+                isinstance(flag, tuple) and len(flag) == 2 and flag[0] == "face"
+            ):
+                lat_keys.add((tuple(flag[1]["n1"]), n_rows, n_unk_c))
+            else:
+                tacc_only = False
+        self._lattice_key = (
+            lat_keys.pop() if tacc_only and len(lat_keys) == 1 else None
+        )
+
         cached = getattr(self, "_raw_fn_cache", None)
         if cached is not None and cached[0] == sig:
-            return cached[1], tuple(consts)
+            fn = cached[1].get(layout)
+            if fn is None:
+                raise ValueError("lattice layout unavailable for this operator")
+            return fn, tuple(consts)
 
-        def apply(x, *consts):
+        def _apply_impl(x, consts, lattice_io):
             from ..ops.lattice import lattice_gather, lattice_scatter_add
 
             y = jnp.zeros_like(x)
@@ -1392,11 +1477,15 @@ class MatrixFreeSystem(_SystemBase):
                 t = tcache.get((key, r))
                 if t is None:
                     n1t, n_rows_k, n_unk_k = key
-                    t = (
-                        x[:, r]
-                        .reshape(n_rows_k, n_unk_k)
-                        .T.reshape((n_unk_k,) + tuple(reversed(n1t)))
-                    )
+                    if lattice_io:
+                        # channel-major rows: the tensor view is free
+                        t = x[:, r].reshape((n_unk_k,) + tuple(reversed(n1t)))
+                    else:
+                        t = (
+                            x[:, r]
+                            .reshape(n_rows_k, n_unk_k)
+                            .T.reshape((n_unk_k,) + tuple(reversed(n1t)))
+                        )
                     tcache[(key, r)] = t
                 return t
 
@@ -1577,11 +1666,27 @@ class MatrixFreeSystem(_SystemBase):
                         y = y.at[idx.reshape(-1), r].add(y_loc.reshape(-1))
             for (key, r), acc in tacc.items():
                 n_unk_k = key[2]
-                y = y.at[:, r].add(acc.reshape(n_unk_k, -1).T.reshape(-1))
+                if lattice_io:
+                    y = y.at[:, r].add(acc.reshape(-1))
+                else:
+                    y = y.at[:, r].add(acc.reshape(n_unk_k, -1).T.reshape(-1))
             return y
 
-        self._raw_fn_cache = (sig, apply)
-        return apply, tuple(consts)
+        def apply(x, *consts):
+            return _apply_impl(x, consts, False)
+
+        fns = {"dof": apply}
+        if self._lattice_key is not None:
+
+            def apply_lat(x, *consts):
+                return _apply_impl(x, consts, True)
+
+            fns["lattice"] = apply_lat
+        self._raw_fn_cache = (sig, fns)
+        fn = fns.get(layout)
+        if fn is None:
+            raise ValueError("lattice layout unavailable for this operator")
+        return fn, tuple(consts)
 
     def diagonal(self) -> jnp.ndarray:
         if self._diag is None:

@@ -106,6 +106,41 @@ def lattice_qp_perm(ne: tuple, q1: int, eidx_inv=None) -> np.ndarray:
     return (e * Q + q).reshape(-1).astype(np.int64)
 
 
+def _kpack_group(n1x: int, Qx: int) -> int:
+    """Line-batching group size for the x-stage matmuls.
+
+    The banded x table is (n1x, Qx) — at the flagship (37, 42) the MXU pads
+    both to 128.  Packing g consecutive y-lines into one row with a
+    block-diagonal table (g*n1x, g*Qx) raises tile utilization ~g-fold; the
+    (y, x) -> (y/g, g*x) regroup is a FREE reshape (x is minor).
+
+    MEASURED OFF by default: interleaved flagship A/B (TPU v5e, 2x each)
+    gave 0.306/0.318 ms unpacked vs 0.322/0.321 ms packed — the x-stage
+    matmul cost is dominated by streaming the M=c*z*y rows (K/N padding of
+    the small stationary table is nearly free), so the pad/reshape copies
+    outweigh the pass savings.  Kept behind L3STER_TPU_KPACK=1 for larger-c
+    systems where the tradeoff may flip.
+    """
+    import os
+
+    if os.environ.get("L3STER_TPU_KPACK", "0") in ("0", "false"):
+        return 1
+    return max(1, min(128 // n1x, 128 // Qx))
+
+
+@lru_cache(maxsize=None)
+def _blockdiag_tables(order: int, q_order: int, ne_a: int, g: int):
+    """Block-diagonal stack of g copies of the banded (NgT, DgT) tables."""
+    Ng, Dg = banded_tables(order, q_order, ne_a)  # (Qa, n1)
+    n1, Qa = Ng.shape[1], Ng.shape[0]
+    N3 = np.zeros((g * n1, g * Qa))
+    D3 = np.zeros_like(N3)
+    for j in range(g):
+        N3[j * n1 : (j + 1) * n1, j * Qa : (j + 1) * Qa] = Ng.T
+        D3[j * n1 : (j + 1) * n1, j * Qa : (j + 1) * Qa] = Dg.T
+    return N3, D3
+
+
 def _tabs(order: int, q_order: int, ne: tuple, dtype):
     out = []
     for ne_a in ne:
@@ -278,8 +313,31 @@ def local_apply_lattice(
         # NOTE: [N|D] table packing (one matmul with doubled free/contraction
         # dim) was tried here and measured SLOWER (0.322 vs 0.299 ms at the
         # flagship): the concat/slice copies outweigh the MXU pass savings
-        ax = jnp.einsum("czyx,xQ->czyQ", t, NxT, precision=_PREC)
-        adx0 = jnp.einsum("czyx,xQ->czyQ", t, DxT, precision=_PREC)
+        n1y, n1x = t.shape[2], t.shape[3]
+        g = _kpack_group(n1x, Q)
+        if g > 1:
+            # block-diagonal line batching: pack g consecutive y-lines into
+            # one matmul row (free reshape, x minor), raising the x-stage
+            # MXU tile utilization ~g-fold; the y tables are zero-row padded
+            # so the padded y rows flow through the y stages as exact zeros
+            n1yp = -(-n1y // g) * g
+            tp = jnp.pad(t, ((0, 0), (0, 0), (0, n1yp - n1y), (0, 0)))
+            tp = tp.reshape(c, n1z, n1yp // g, g * n1x)
+            N3, D3 = _blockdiag_tables(order, q_order, ne[0], g)
+            N3 = jnp.asarray(N3, t.dtype)
+            D3 = jnp.asarray(D3, t.dtype)
+            ax = jnp.einsum("czgk,kQ->czgQ", tp, N3, precision=_PREC).reshape(
+                c, n1z, n1yp, Q
+            )
+            adx0 = jnp.einsum("czgk,kQ->czgQ", tp, D3, precision=_PREC).reshape(
+                c, n1z, n1yp, Q
+            )
+            if n1yp != n1y:
+                NyT = jnp.pad(NyT, ((0, n1yp - n1y), (0, 0)))
+                DyT = jnp.pad(DyT, ((0, n1yp - n1y), (0, 0)))
+        else:
+            ax = jnp.einsum("czyx,xQ->czyQ", t, NxT, precision=_PREC)
+            adx0 = jnp.einsum("czyx,xQ->czyQ", t, DxT, precision=_PREC)
         b = jnp.einsum("czyQ,yR->zcRQ", ax, NyT, precision=_PREC).reshape(n1z, c, R * Q)
         bdy = jnp.einsum("czyQ,yR->zcRQ", ax, DyT, precision=_PREC).reshape(n1z, c, R * Q)
         bdx = jnp.einsum("czyQ,yR->zcRQ", adx0, NyT, precision=_PREC).reshape(n1z, c, R * Q)
@@ -318,9 +376,19 @@ def local_apply_lattice(
             "zcRQ,yR->czyQ", ady, DyT, precision=_PREC
         )
         adx2 = jnp.einsum("zcRQ,yR->czyQ", adx, NyT, precision=_PREC)
-        y = jnp.einsum("czyQ,xQ->czyx", a2, NxT, precision=_PREC) + jnp.einsum(
-            "czyQ,xQ->czyx", adx2, DxT, precision=_PREC
-        )
+        if g > 1:
+            a2g = a2.reshape(c, n1z, n1yp // g, g * Q)
+            adx2g = adx2.reshape(c, n1z, n1yp // g, g * Q)
+            y = (
+                jnp.einsum("czgq,kq->czgk", a2g, N3, precision=_PREC)
+                + jnp.einsum("czgq,kq->czgk", adx2g, D3, precision=_PREC)
+            ).reshape(c, n1z, n1yp, n1x)
+            if n1yp != n1y:
+                y = y[:, :, :n1y]
+        else:
+            y = jnp.einsum("czyQ,xQ->czyx", a2, NxT, precision=_PREC) + jnp.einsum(
+                "czyQ,xQ->czyx", adx2, DxT, precision=_PREC
+            )
         return y if tensor_io else y.reshape(c, -1).T.reshape(x.shape)
     EQ = w_l.shape[0]
     v, ders = lattice_interp(t, tabs)

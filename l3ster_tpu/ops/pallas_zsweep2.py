@@ -130,8 +130,9 @@ def _make_kernel(
             (b_ref, bdy_ref, bdx_ref, ji_ref, w_ref, *rest) = refs
         if var_spec is not None:
             av_ref, *rest = rest
-        (tndh, tndl, gnh, gnl, gdh, gdl, a_ref, ady_ref, adx_ref) = rest
+        (tndh, tndl, gnh, gnl, gndh, gndl, a_ref, ady_ref, adx_ref) = rest
         dt = jnp.float32 if split else b_ref.dtype
+        CL = b_ref.shape[1]  # c * LB lanes
 
         def lane_rep(x):  # (r, LB) -> (r, c*LB)
             return x if c == 1 else jnp.concatenate([x] * c, axis=1)
@@ -141,8 +142,12 @@ def _make_kernel(
         vdz = dotT(tndh[:], tndl[:], bs, dt)  # (2Sp, c*LB): rows [0:S]=v, [Sp:Sp+S]=dz
         v = vdz[:S]
         dz = vdz[Sp : Sp + S]
-        dy = dotT(tndh[:, :Sp], tndl[:, :Sp], xsplit(bdy_ref[:]), dt)[:S]
-        dx = dotT(tndh[:, :Sp], tndl[:, :Sp], xsplit(bdx_ref[:]), dt)[:S]
+        # dy/dx share the N-table: one dot at doubled N (same MXU cycles,
+        # half the Mosaic op count / pipeline bubbles)
+        bdyx = jnp.concatenate([bdy_ref[:], bdx_ref[:]], axis=1)
+        dydx = dotT(tndh[:, :Sp], tndl[:, :Sp], xsplit(bdyx), dt)
+        dy = dydx[:S, :CL]
+        dx = dydx[:S, CL:]
         # ---- physical derivatives + weights
         if diag:
             jxr = lane_rep(jx_ref[:])  # (1, c*LB); sublane broadcast is cheap
@@ -217,11 +222,15 @@ def _make_kernel(
             ty = sum(jir[1 * 3 + i] * tvec[1 + i] for i in range(3))
             tz = sum(jir[2 * 3 + i] * tvec[1 + i] for i in range(3))
         # ---- z transpose
-        a_ref[:] = dotT(gnh[:], gnl[:], xsplit(tvec[0]), dt) + dotT(
-            gdh[:], gdl[:], xsplit(tz), dt
-        )
-        ady_ref[:] = dotT(gnh[:], gnl[:], xsplit(ty), dt)
-        adx_ref[:] = dotT(gnh[:], gnl[:], xsplit(tx), dt)
+        # a = Nz^T t0 + Dz^T tz as ONE dot with stacked contraction dim
+        # (K = 2S: halves the K-padding waste of two K=S dots); ty/tx share
+        # Nz^T at doubled N
+        t0z = jnp.concatenate([tvec[0], tz], axis=0)  # (2S, c*LB)
+        a_ref[:] = dotT(gndh[:], gndl[:], xsplit(t0z), dt)
+        tyx = jnp.concatenate([ty, tx], axis=1)  # (S, 2*c*LB)
+        oyx = dotT(gnh[:], gnl[:], xsplit(tyx), dt)
+        ady_ref[:] = oyx[:, :CL]
+        adx_ref[:] = oyx[:, CL:]
 
     return kernel
 
@@ -283,7 +292,8 @@ def fused_z_sweep_v2(
     TND[:, Sp : Sp + S] = npD
     tndh, tndl = _split_hi_lo(TND, split, b.dtype)
     gnh, gnl = _split_hi_lo(npN.T, split, b.dtype)  # (S, n1z)
-    gdh, gdl = _split_hi_lo(npD.T, split, b.dtype)
+    # stacked [N; D] z-transpose table: a = [N;D]^T [t0; tz] in one dot
+    gndh, gndl = _split_hi_lo(np.concatenate([npN.T, npD.T], axis=0), split, b.dtype)
 
     kernel = _make_kernel(
         A, c, diag, split, LB, S, Sp,
@@ -325,14 +335,14 @@ def fused_z_sweep_v2(
             A_var = jnp.pad(A_var, ((0, 0), (0, 0), (0, RQp - RQ)))
         args += [A_var]
         in_specs += [pl.BlockSpec((K_var, S, LB), lambda r: (0, 0, r))]
-    args += [tndh, tndl, gnh, gnl, gdh, gdl]
+    args += [tndh, tndl, gnh, gnl, gndh, gndl]
     in_specs += [
         pl.BlockSpec((n1z, 2 * Sp), lambda r: (0, 0)),
         pl.BlockSpec((n1z, 2 * Sp), lambda r: (0, 0)),
         pl.BlockSpec((S, n1z), lambda r: (0, 0)),
         pl.BlockSpec((S, n1z), lambda r: (0, 0)),
-        pl.BlockSpec((S, n1z), lambda r: (0, 0)),
-        pl.BlockSpec((S, n1z), lambda r: (0, 0)),
+        pl.BlockSpec((2 * S, n1z), lambda r: (0, 0)),
+        pl.BlockSpec((2 * S, n1z), lambda r: (0, 0)),
     ]
     out = pl.pallas_call(
         kernel,

@@ -22,7 +22,22 @@ from .precond import Identity
 __all__ = ["cg_solve", "gmres_solve", "CG", "Gmres"]
 
 
-def _precond_parts(precond, system):
+def _lattice_solve_layout(system, precond) -> str:
+    """"lattice" when both the operator and the preconditioner can run on
+    channel-major vectors (see MatrixFreeSystem.lattice_layout_key): the
+    whole Krylov loop then skips the operator's per-apply entry/exit
+    transposes (~60us/iteration on TPU at the flagship), converting layouts
+    once per solve inside the jitted program."""
+    lk = getattr(system, "lattice_layout_key", None)
+    if lk is None or not getattr(precond, "supports_lattice_layout", False):
+        return "dof"
+    try:
+        return "lattice" if lk() is not None else "dof"
+    except Exception:
+        return "dof"
+
+
+def _precond_parts(precond, system, layout: str = "dof"):
     """(apply(r, *consts), consts) for a preconditioner; falls back to the
     closure-style setup() for third-party preconditioners (small state only).
 
@@ -46,7 +61,7 @@ def _precond_parts(precond, system):
     key = None
     if epoch is not None:
         try:
-            key = (precond, epoch)
+            key = (precond, epoch, layout)
             hash(key)
         except TypeError:
             key = None
@@ -67,7 +82,9 @@ def _precond_parts(precond, system):
             return hit
     setup_parts = getattr(precond, "setup_parts", None)
     if setup_parts is not None:
-        parts = setup_parts(system)
+        parts = setup_parts(system, layout=layout) if layout != "dof" else setup_parts(system)
+    elif layout != "dof":
+        raise ValueError(f"{type(precond).__name__} does not support layout={layout!r}")
     else:
         M = precond.setup(system)
         parts = (lambda r, *pc: M(r)), ()
@@ -316,8 +333,13 @@ class CG:
 
     def solve(self, system) -> IterSolveResult:
         o = self.opts
-        fn, consts = system.operator_parts()
-        M_fn, M_consts = _precond_parts(self.precond, system)
+        layout = _lattice_solve_layout(system, self.precond)
+        fn, consts = (
+            system.operator_parts(layout=layout)
+            if layout != "dof"
+            else system.operator_parts()
+        )
+        M_fn, M_consts = _precond_parts(self.precond, system, layout)
         n_oc = len(consts)
 
         def build():
@@ -325,18 +347,23 @@ class CG:
             def solve_fn(b, x0, *all_consts):
                 oc = all_consts[:n_oc]
                 pc = all_consts[n_oc:]
-                return cg_solve(
+                if layout == "lattice":
+                    b, x0 = system.to_lattice_layout(b), system.to_lattice_layout(x0)
+                x, it, res = cg_solve(
                     lambda v: fn(v, *oc), b, x0=x0,
                     precond=lambda r: M_fn(r, *pc), tol=o.tol, max_iters=o.max_iters,
                     residual_scaling=o.residual_scaling, verbosity=o.verbosity,
                 )
+                if layout == "lattice":
+                    x = system.from_lattice_layout(x)
+                return x, it, res
 
             return solve_fn
 
         solve_fn = _cached_solve_fn(
             system,
             ("cg", fn, M_fn, n_oc, len(M_consts), o.tol, o.max_iters,
-             o.residual_scaling, o.verbosity),
+             o.residual_scaling, o.verbosity, layout),
             build,
         )
         b = system.effective_rhs()
@@ -356,8 +383,13 @@ class Gmres:
 
     def solve(self, system) -> IterSolveResult:
         o = self.opts
-        fn, consts = system.operator_parts()
-        M_fn, M_consts = _precond_parts(self.precond, system)
+        layout = _lattice_solve_layout(system, self.precond)
+        fn, consts = (
+            system.operator_parts(layout=layout)
+            if layout != "dof"
+            else system.operator_parts()
+        )
+        M_fn, M_consts = _precond_parts(self.precond, system, layout)
         n_oc = len(consts)
 
         def build():
@@ -365,18 +397,23 @@ class Gmres:
             def solve_fn(b, x0, *all_consts):
                 oc = all_consts[:n_oc]
                 pc = all_consts[n_oc:]
-                return gmres_solve(
+                if layout == "lattice":
+                    b, x0 = system.to_lattice_layout(b), system.to_lattice_layout(x0)
+                x, it, res = gmres_solve(
                     lambda v: fn(v, *oc), b, x0=x0, precond=lambda r: M_fn(r, *pc),
                     tol=o.tol, max_iters=o.max_iters, restart=o.restart,
                     residual_scaling=o.residual_scaling, verbosity=o.verbosity,
                 )
+                if layout == "lattice":
+                    x = system.from_lattice_layout(x)
+                return x, it, res
 
             return solve_fn
 
         solve_fn = _cached_solve_fn(
             system,
             ("gmres", fn, M_fn, n_oc, len(M_consts), o.tol, o.max_iters,
-             o.restart, o.residual_scaling, o.verbosity),
+             o.restart, o.residual_scaling, o.verbosity, layout),
             build,
         )
         b = system.effective_rhs()

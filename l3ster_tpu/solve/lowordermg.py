@@ -51,6 +51,19 @@ def _axis_coords(mesh):
     return axes
 
 
+def _perm_to_lat(v, n_rows: int, n_unk: int):
+    """dof-major (node*n_unk+u) rows -> channel-major (u*n_rows+node)."""
+    v2 = v[:, None] if v.ndim == 1 else v
+    out = v2.reshape(n_rows, n_unk, v2.shape[1]).transpose(1, 0, 2).reshape(v2.shape)
+    return out[:, 0] if v.ndim == 1 else out
+
+
+def _perm_from_lat(v, n_rows: int, n_unk: int):
+    v2 = v[:, None] if v.ndim == 1 else v
+    out = v2.reshape(n_unk, n_rows, v2.shape[1]).transpose(1, 0, 2).reshape(v2.shape)
+    return out[:, 0] if v.ndim == 1 else out
+
+
 def _coarsen(idx: np.ndarray) -> np.ndarray:
     """Every-2nd-node coarsening keeping both endpoints."""
     n = len(idx)
@@ -163,16 +176,26 @@ class LowOrderMG:
 
     n_levels: int = 3
     smooth_degree: int = 2
+    pre_degree: int | None = None  # pre-smoothing degree; None -> smooth_degree.
+    # V(0,k) cycles (pre_degree=0) skip BOTH pre-smoothing applies and the
+    # defect apply (the defect of a zero iterate is r itself) — at the p=6
+    # flagship this turns 5 level-0 p1-operator applies per V-cycle into 2.
     cycles: int = 1
     lag: int = 0  # reuse the hierarchy across up to `lag` reassemblies
     coarse_max_dofs: int = 4000
     eig_ratio: float = 8.0
+    # channel-major vectors supported end-to-end: level operators run
+    # ``operator_parts(layout="lattice")`` where available (falling back to
+    # per-apply permutations), transfers consume the channel-leading tensor
+    # view directly, and the coarse dense inverse is permuted at setup
+    supports_lattice_layout = True
 
     def setup(self, system):
         apply, pc = self.setup_parts(system)
         return lambda r: apply(r, *pc)
 
-    def setup_parts(self, system):
+    def setup_parts(self, system, layout: str = "dof"):
+        lat = layout == "lattice"
         axes = _axis_coords(system.mesh)
         if axes is None:
             raise ValueError(
@@ -207,9 +230,24 @@ class LowOrderMG:
         consts: list = []
         for li, ax in enumerate(level_axes[:-1]):
             s_l = _build_p1_system(system, ax, dtype)
-            fn, oc = s_l.operator_parts()
+            n_rows_l = s_l.n_dofs // n_unk
+            if lat:
+                try:
+                    fn, oc = s_l.operator_parts(layout="lattice")
+                except ValueError:
+                    # level operator lacks the lattice fast path (e.g. CPU
+                    # sum-fact buckets): permute per apply instead
+                    fn_dof, oc = s_l.operator_parts()
+
+                    def fn(x, *ocs, _f=fn_dof, _n=n_rows_l):
+                        return _perm_to_lat(_f(_perm_from_lat(x, _n, n_unk), *ocs), _n, n_unk)
+
+            else:
+                fn, oc = s_l.operator_parts()
             d_l = s_l.diagonal()
             dinv = jnp.where(jnp.abs(d_l) > 1e-14, 1.0 / d_l, 1.0)
+            if lat:
+                dinv = _perm_to_lat(dinv, n_rows_l, n_unk)
             # lambda_max of D^-1 A by power iteration (setup-time, on device)
             key = jax.random.PRNGKey(li)
             v = jax.random.normal(key, (s_l.n_dofs, 1), dtype=dtype)
@@ -226,6 +264,8 @@ class LowOrderMG:
 
             lam = float(power(v, dinv, *oc)) * 1.05
             free_l = s_l.free_mask
+            if lat:
+                free_l = _perm_to_lat(free_l, n_rows_l, n_unk)
             levels.append(
                 dict(
                     fn=fn, off=len(consts), n_oc=len(oc),
@@ -245,26 +285,37 @@ class LowOrderMG:
             consts.extend(Ps)
 
         Binv = _assembled_dense_inv(system, level_axes[-1], dtype)
+        if lat:
+            # permute the dense inverse into channel-major indexing once
+            n_rows_c = Binv.shape[0] // n_unk
+            dof_of_lat = (
+                np.arange(n_rows_c)[None, :] * n_unk + np.arange(n_unk)[:, None]
+            ).ravel()
+            Binv = Binv[np.ix_(dof_of_lat, dof_of_lat)]
         coarse_pos = len(consts)
         consts.append(jnp.asarray(Binv, dtype))
         smooth_degree = self.smooth_degree
+        pre_degree = self.pre_degree if self.pre_degree is not None else self.smooth_degree
         cycles = self.cycles
         eig_ratio = self.eig_ratio
         n_levels = len(levels)
 
-        def cheb(fn_l, r, z0, dinv, lam_max, ocs):
-            """Chebyshev iteration on D^-1 A, degree ``smooth_degree``,
-            starting from z0 (standard smoothing recurrence)."""
+        def cheb(fn_l, r, z0, dinv, lam_max, ocs, degree, z0_zero=False):
+            """Chebyshev iteration on D^-1 A of the given degree, starting
+            from z0 (standard smoothing recurrence).  ``z0_zero`` skips the
+            first operator apply (the defect of a zero iterate is r)."""
+            if degree <= 0:
+                return z0
             lmax = lam_max
             lmin = lmax / eig_ratio
             theta = 0.5 * (lmax + lmin)
             delta = 0.5 * (lmax - lmin)
             z = z0
-            resid = dinv[:, None] * (r - fn_l(z, *ocs))
+            resid = dinv[:, None] * (r if z0_zero else r - fn_l(z, *ocs))
             p = resid / theta
             z = z + p
             rho = delta / theta
-            for _ in range(smooth_degree - 1):
+            for _ in range(degree - 1):
                 rho_new = 1.0 / (2.0 * theta / delta - rho)
                 resid = dinv[:, None] * (r - fn_l(z, *ocs))
                 p = rho_new * (2.0 / delta * resid + rho * p)
@@ -276,6 +327,18 @@ class LowOrderMG:
             # x (n_f, m) -> coarse via P^T per axis, channel-leading tensors
             shp_f = tuple(P.shape[0] for P in reversed(Ps))  # (z, y, x)
             m = x.shape[1]
+            if lat:
+                # channel-major rows: the tensor view is free; m rides as a
+                # trailing axis through the per-axis band matmuls
+                t = x.reshape((n_unk,) + shp_f + (m,))
+                if len(Ps) == 3:
+                    t = jnp.einsum("czyxm,xX->czyXm", t, Ps[0])
+                    t = jnp.einsum("czyXm,yY->czYXm", t, Ps[1])
+                    t = jnp.einsum("czYXm,zZ->cZYXm", t, Ps[2])
+                else:
+                    t = jnp.einsum("cyxm,xX->cyXm", t, Ps[0])
+                    t = jnp.einsum("cyXm,yY->cYXm", t, Ps[1])
+                return t.reshape(-1, m)
             t = x.reshape(shp_f + (n_unk * m,))
             t = jnp.moveaxis(t, -1, 0)  # (c*m, z, y, x)
             if len(Ps) == 3:
@@ -291,6 +354,16 @@ class LowOrderMG:
         def prolong(x, Ps, n_unk):
             shp_c = tuple(P.shape[1] for P in reversed(Ps))
             m = x.shape[1]
+            if lat:
+                t = x.reshape((n_unk,) + shp_c + (m,))
+                if len(Ps) == 3:
+                    t = jnp.einsum("cZYXm,zZ->czYXm", t, Ps[2])
+                    t = jnp.einsum("czYXm,yY->czyXm", t, Ps[1])
+                    t = jnp.einsum("czyXm,xX->czyxm", t, Ps[0])
+                else:
+                    t = jnp.einsum("cYXm,yY->cyXm", t, Ps[1])
+                    t = jnp.einsum("cyXm,xX->cyxm", t, Ps[0])
+                return t.reshape(-1, m)
             t = x.reshape(shp_c + (n_unk * m,))
             t = jnp.moveaxis(t, -1, 0)
             if len(Ps) == 3:
@@ -313,8 +386,15 @@ class LowOrderMG:
                 dinv = cs[lv["dinv_pos"]]
                 free_l = cs[lv["dinv_pos"] + 1]
                 Ps = cs[lv["P_pos"] : lv["P_pos"] + dim]
-                z = cheb(lv["fn"], r_l, jnp.zeros_like(r_l), dinv, lv["lam_max"], ocs)
-                rc = r_l - lv["fn"](z, *ocs)
+                if pre_degree > 0:
+                    z = cheb(
+                        lv["fn"], r_l, jnp.zeros_like(r_l), dinv, lv["lam_max"],
+                        ocs, pre_degree, z0_zero=True,
+                    )
+                    rc = r_l - lv["fn"](z, *ocs)
+                else:
+                    z = jnp.zeros_like(r_l)
+                    rc = r_l
                 rc = restrict(rc * free_l[:, None], Ps, n_unk)
                 if li + 1 < n_levels:
                     nxt = levels[li + 1]
@@ -324,7 +404,7 @@ class LowOrderMG:
                     Binv_c = cs[coarse_pos]
                     zc = Binv_c @ rc
                 z = z + prolong(zc, Ps, n_unk) * free_l[:, None]
-                z = cheb(lv["fn"], r_l, z, dinv, lv["lam_max"], ocs)
+                z = cheb(lv["fn"], r_l, z, dinv, lv["lam_max"], ocs, smooth_degree)
                 return z
 
             z = vcycle(r, 0)

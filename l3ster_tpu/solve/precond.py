@@ -123,10 +123,12 @@ def _identity_apply(r, *pc):
 
 @dataclass(frozen=True)
 class Identity:
+    supports_lattice_layout = True
+
     def setup(self, system):
         return lambda r: r
 
-    def setup_parts(self, system):
+    def setup_parts(self, system, layout="dof"):
         return _identity_apply, ()
 
 
@@ -135,12 +137,13 @@ class Richardson:
     """M^-1 = factor * I (``NativePreconditioners.hpp`` Richardson)."""
 
     factor: float = 1.0
+    supports_lattice_layout = True
 
     def setup(self, system):
         f = self.factor
         return lambda r: f * r
 
-    def setup_parts(self, system):
+    def setup_parts(self, system, layout="dof"):
         f = self.factor
         return (lambda r, *pc: f * r), ()
 
@@ -158,21 +161,28 @@ class Jacobi:
     sweeps: int = 1
     lag: int = 0  # reuse setup across up to `lag` reassemblies (frozen-M)
     damping: float = 1.0
+    supports_lattice_layout = True
 
     def setup(self, system):
         apply, pc = self.setup_parts(system)
         return lambda r: apply(r, *pc)
 
-    def setup_parts(self, system):
+    def setup_parts(self, system, layout="dof"):
         """(apply(r, *consts), consts): the inverted diagonal travels as a jit
         argument so solvers never inline it into the compiled program."""
         d = system.diagonal()
         inv = jnp.where(jnp.abs(d) > self.threshold, self.damping / d, self.damping)
+        if layout == "lattice":
+            inv = system.to_lattice_layout(inv)
         if self.sweeps <= 1:
             # module-level fn: its identity survives reassembly epochs, so
             # cached solve programs need no re-trace in transient loops
             return _jacobi_apply, (inv,)
-        fn, oconsts = system.operator_parts()
+        fn, oconsts = (
+            system.operator_parts(layout=layout)
+            if layout != "dof"
+            else system.operator_parts()
+        )
         n_sweeps = self.sweeps
 
         def apply(r, inv, *oc):

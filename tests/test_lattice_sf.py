@@ -449,3 +449,68 @@ def test_structural_fn_cache_reassembly():
     # ... but the VALUES follow the new assembly (A scales by 2 -> the
     # least-squares operator A^T W A scales by 4)
     assert float(jnp.abs(y2 - 4.0 * y1).max() / jnp.abs(y1).max()) < 1e-12
+
+
+def test_lattice_layout_operator_and_solve():
+    """Channel-major (lattice-layout) Krylov path: ``operator_parts(
+    layout="lattice")`` is bit-identical to the dof-layout operator under the
+    layout permutation, and ``CG`` with a layout-capable preconditioner
+    transparently solves in that layout (skipping the per-apply entry/exit
+    transposes, ~60us/iteration on TPU at the flagship)."""
+    import jax.numpy as jnp
+
+    from bench import _adiabatic_3d, _diffusion_3d
+
+    mesh = lt.generate_mesh(lt.make_cube_mesh(np.linspace(0, 1, 4)), order=2)
+    problem = lt.ProblemDefinition(4, [0])
+    bcs = lt.BCDefinition(problem)
+    bcs.define_dirichlet([5, 6], [0])
+    params = lt.AlgebraicSystemParams(
+        eval_strategy=lt.OperatorEvaluationStrategy.MATRIX_FREE
+    )
+    system = lt.make_algebraic_system(mesh, problem, bcs, params)
+    kd = lt.wrap_domain_equation_kernel(
+        lambda i, o: _diffusion_3d(i, o),
+        lt.KernelParams(dimension=3, n_equations=7, n_unknowns=4),
+    )
+    kn = lt.wrap_boundary_equation_kernel(
+        lambda i, o: _adiabatic_3d(i, o),
+        lt.KernelParams(dimension=3, n_equations=1, n_unknowns=4),
+    )
+    kdir = lt.wrap_boundary_residual_kernel(
+        lambda i, o: o.__setitem__(0, i.point.x),
+        lt.KernelParams(dimension=3, n_equations=1),
+    )
+    system.set_dirichlet_bc_values(kdir, [5, 6], [0])
+    opts = lt.AssemblyOptions(eval_strategy=lt.LocalEvalStrategy.LATTICE_SF)
+    system.begin_assembly()
+    system.assemble_problem(kd, [0], options=opts)
+    system.assemble_problem(kn, [1, 2, 3, 4])
+    system.end_assembly()
+
+    assert system.lattice_layout_key() == ((7, 7, 7), 343, 4)
+    fn_d, cd = system.operator_parts()
+    fn_l, cl = system.operator_parts(layout="lattice")
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(system.n_dofs, 2)))
+    yd = fn_d(x, *cd)
+    yl = system.from_lattice_layout(fn_l(system.to_lattice_layout(x), *cl))
+    assert float(jnp.abs(yd - yl).max()) < 1e-13
+    # round-trip of the layout permutation
+    assert float(
+        jnp.abs(system.from_lattice_layout(system.to_lattice_layout(x)) - x).max()
+    ) == 0.0
+
+    r = system.solve(
+        lt.CG(lt.IterSolverOpts(tol=1e-12, max_iters=2000), precond=lt.Jacobi())
+    )
+    assert r.tol < 1e-11
+    x_lat = np.array(system.x).copy()
+    # Chebyshev has no lattice-layout support -> same solve via the dof path
+    system.set_solution_vector(system.x * 0)
+    r2 = system.solve(
+        lt.CG(
+            lt.IterSolverOpts(tol=1e-12, max_iters=2000),
+            precond=lt.Chebyshev(degree=1, eig_ratio=30.0),
+        )
+    )
+    assert np.abs(np.array(system.x) - x_lat).max() < 1e-9

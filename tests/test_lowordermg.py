@@ -172,3 +172,89 @@ def test_lowordermg_3d():
         lt.compute_norm_l2(ek, mesh, [0], manager.field_access([0, 1, 2, 3]), options=opts)
     ).ravel()
     assert np.linalg.norm(e) < 1e-7
+
+
+def test_lowordermg_v11_cycle():
+    """V(1,1) with the zero-initial-guess shortcut: 2 level-0 operator
+    applies per V-cycle (the round-2 V(2,2) paid 5) while staying a
+    symmetric preconditioner (same-degree Chebyshev pre/post), so CG
+    convergence is guaranteed and iteration counts stay in the spectral-
+    equivalence class."""
+    mesh, system, opts = _build_2d()
+    r = system.solve(
+        lt.CG(
+            lt.IterSolverOpts(tol=1e-12, max_iters=3000),
+            precond=lt.LowOrderMG(smooth_degree=1),
+        )
+    )
+    assert r.tol < 1e-10
+    assert r.num_iters < 250, r.num_iters
+
+
+def test_lowordermg_v02_nonsymmetric_cycle_gmres():
+    """pre_degree=0 (V(0,k)) drops pre-smoothing AND the defect apply; the
+    cycle is nonsymmetric, so it is exercised under GMRES."""
+    mesh, system, opts = _build_2d()
+    r = system.solve(
+        lt.Gmres(
+            lt.IterSolverOpts(tol=1e-11, max_iters=2000),
+            precond=lt.LowOrderMG(smooth_degree=2, pre_degree=0),
+        )
+    )
+    assert r.tol < 1e-9
+
+
+def test_lowordermg_lattice_layout():
+    """CG + LowOrderMG through the channel-major (lattice) solve path: the
+    fine operator runs ``layout="lattice"`` (forced LATTICE_SF) while the p1
+    levels fall back to per-apply permutations on CPU — the answer must
+    match the dof-layout solve exactly (same preconditioner, same cycle)."""
+    mesh = lt.generate_mesh(lt.make_cube_mesh(np.linspace(0.0, 1.0, 3)), order=3)
+    problem = lt.ProblemDefinition(4, [0])
+    bcs = lt.BCDefinition(problem)
+    bcs.define_dirichlet([5, 6], [0])
+
+    from bench import _adiabatic_3d, _diffusion_3d
+
+    kd = lt.wrap_domain_equation_kernel(
+        lambda i, o: _diffusion_3d(i, o),
+        lt.KernelParams(dimension=3, n_equations=7, n_unknowns=4),
+    )
+    kn = lt.wrap_boundary_equation_kernel(
+        lambda i, o: _adiabatic_3d(i, o),
+        lt.KernelParams(dimension=3, n_equations=1, n_unknowns=4),
+    )
+    kdir = lt.wrap_boundary_residual_kernel(
+        lambda i, o: o.__setitem__(0, i.point.x),
+        lt.KernelParams(dimension=3, n_equations=1),
+    )
+
+    def make(force_lattice):
+        system = lt.make_algebraic_system(
+            mesh, problem, bcs,
+            lt.AlgebraicSystemParams(eval_strategy=lt.OperatorEvaluationStrategy.MATRIX_FREE),
+        )
+        system.set_dirichlet_bc_values(kdir, [5, 6], [0])
+        opts = (
+            lt.AssemblyOptions(eval_strategy=lt.LocalEvalStrategy.LATTICE_SF)
+            if force_lattice
+            else lt.AssemblyOptions()
+        )
+        system.begin_assembly()
+        system.assemble_problem(kd, [0], options=opts)
+        system.assemble_problem(kn, [1, 2, 3, 4])
+        system.end_assembly()
+        return system
+
+    s_lat = make(True)
+    assert s_lat.lattice_layout_key() is not None
+    pre = lt.LowOrderMG(smooth_degree=1)
+    r1 = s_lat.solve(lt.CG(lt.IterSolverOpts(tol=1e-11, max_iters=3000), precond=pre))
+    assert r1.tol < 1e-9
+    x_lat = np.array(s_lat.x).copy()
+
+    s_dof = make(False)
+    assert s_dof.lattice_layout_key() is None
+    r2 = s_dof.solve(lt.CG(lt.IterSolverOpts(tol=1e-11, max_iters=3000), precond=pre))
+    assert abs(r1.num_iters - r2.num_iters) <= 2, (r1.num_iters, r2.num_iters)
+    assert np.abs(np.array(s_dof.x) - x_lat).max() < 1e-7
