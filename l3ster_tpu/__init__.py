@@ -10,6 +10,21 @@ blocks, matrix-free or explicitly assembled, sharded over a TPU device mesh.
 The public surface mirrors the reference's umbrella header ``l3ster.hpp``.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Correctness-by-default on TPU: un-annotated f32 contractions otherwise run
+# single-pass bf16 on the MXU, and FEM geometry/setup algebra (Jacobians are
+# O(h) sums of O(1) coordinate products) loses its leading digits to
+# cancellation — percent-level operator errors that grow as the mesh refines.
+# Hot apply paths pass an explicit tuned ``precision=`` (see
+# ops/lattice_sumfact._mxu_precision) and are unaffected.  Opt out with
+# L3STER_TPU_DEFAULT_MATMUL=default.
+_dmp = _os.environ.get("L3STER_TPU_DEFAULT_MATMUL", "highest")
+if _dmp != "default":
+    _jax.config.update("jax_default_matmul_precision", _dmp)
+
 from .common.enums import CondensationPolicy, LocalEvalStrategy, OperatorEvaluationStrategy
 from .common.kernel import (
     BoundaryInput,

@@ -133,10 +133,13 @@ def element_geometry(
     J = jax.vmap(lambda v: jacobians(gd, v[:, :dim]))(verts)  # (E, Q, dim, dim)
     Jinv = small_inv(J)
     physD = None
+    hp = jax.lax.Precision.HIGHEST  # setup-time: never bf16 (cancellation)
     if with_phys_ders:
         # physD[i, n] = sum_j Jinv[j, i] refD[j, n]  (= J^-T refD)
-        physD = jnp.einsum("eqji,qjn->eqin", Jinv, jnp.asarray(tables.ref_ders, dtype))
-    xyz = jnp.einsum("qv,evi->eqi", gv, verts)  # full 3-coordinate physical point
+        physD = jnp.einsum(
+            "eqji,qjn->eqin", Jinv, jnp.asarray(tables.ref_ders, dtype), precision=hp
+        )
+    xyz = jnp.einsum("qv,evi->eqi", gv, verts, precision=hp)  # physical point
     w = jnp.asarray(tables.weights, dtype)
     if tables.side is None:
         detJ = jnp.abs(small_det(J))
@@ -157,8 +160,9 @@ def eval_fields(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Field values/gradients at QPs from nodal values (E, n_nodes, n_fields)."""
     N = jnp.asarray(tables.values, field_nodal.dtype)
-    vals = jnp.einsum("qn,enf->eqf", N, field_nodal)
-    ders = jnp.einsum("eqdn,enf->eqdf", geom.phys_ders, field_nodal)
+    hp = jax.lax.Precision.HIGHEST
+    vals = jnp.einsum("qn,enf->eqf", N, field_nodal, precision=hp)
+    ders = jnp.einsum("eqdn,enf->eqdf", geom.phys_ders, field_nodal, precision=hp)
     return vals, ders
 
 

@@ -50,8 +50,17 @@ def geometry_tables(et: ElementType, pts: np.ndarray) -> tuple[np.ndarray, np.nd
 
 
 def jacobians(dN1: np.ndarray, verts: jnp.ndarray) -> jnp.ndarray:
-    """J[q, i, j] = dx_i/dxi_j at each point; verts (n_verts, dim)."""
-    return jnp.einsum("qjv,vi->qij", dN1, verts)
+    """J[q, i, j] = dx_i/dxi_j at each point; verts (n_verts, dim).
+
+    Full-f32 precision is REQUIRED on TPU: J entries are O(h) sums of O(1)
+    coordinate products, so the default bf16 MXU pass loses the leading
+    digits to cancellation — at h ~ 1e-2 the relative error reaches percents
+    and every downstream operator table inherits it (measured: p1-on-GLL
+    level operators 1.3% wrong at 13^3, worse as h shrinks).
+    """
+    import jax
+
+    return jnp.einsum("qjv,vi->qij", dN1, verts, precision=jax.lax.Precision.HIGHEST)
 
 
 def small_det(J: jnp.ndarray) -> jnp.ndarray:

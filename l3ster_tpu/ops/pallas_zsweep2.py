@@ -97,9 +97,13 @@ def _make_kernel(
     HI = jax.lax.Precision.HIGHEST
 
     def dot0(t, m, prefer):  # contract dim0 x dim0: (K, M), (K, N) -> (M, N)
+        # split mode: operands are ALREADY bf16 (hi/lo pairs of the manual
+        # bf16x3 scheme) — the dot must be an explicit single-pass DEFAULT;
+        # inheriting jax_default_matmul_precision=highest would ask Mosaic
+        # for an fp32-precision matmul on bf16 inputs (compile error)
         return jax.lax.dot_general(
             t, m, (((0,), (0,)), ((), ())),
-            precision=None if split else HI,
+            precision=jax.lax.Precision.DEFAULT if split else HI,
             preferred_element_type=prefer,
         )
 

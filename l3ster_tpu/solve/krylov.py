@@ -348,7 +348,15 @@ class CG:
                 oc = all_consts[:n_oc]
                 pc = all_consts[n_oc:]
                 if layout == "lattice":
-                    b, x0 = system.to_lattice_layout(b), system.to_lattice_layout(x0)
+                    # optimization_barrier is REQUIRED between the layout
+                    # transpose and the Krylov while_loop: without it XLA:TPU
+                    # mis-schedules the fused transpose-into-loop program and
+                    # the solve diverges (verified f32 flagship: 8 iters with
+                    # the barrier / stuck at 1e7 residual without; the
+                    # transpose and a single apply are bit-exact either way).
+                    b, x0 = jax.lax.optimization_barrier(
+                        (system.to_lattice_layout(b), system.to_lattice_layout(x0))
+                    )
                 x, it, res = cg_solve(
                     lambda v: fn(v, *oc), b, x0=x0,
                     precond=lambda r: M_fn(r, *pc), tol=o.tol, max_iters=o.max_iters,
@@ -398,7 +406,11 @@ class Gmres:
                 oc = all_consts[:n_oc]
                 pc = all_consts[n_oc:]
                 if layout == "lattice":
-                    b, x0 = system.to_lattice_layout(b), system.to_lattice_layout(x0)
+                    # see CG.solve: barrier guards an XLA:TPU mis-schedule of
+                    # the transpose fused into the Krylov while_loop
+                    b, x0 = jax.lax.optimization_barrier(
+                        (system.to_lattice_layout(b), system.to_lattice_layout(x0))
+                    )
                 x, it, res = gmres_solve(
                     lambda v: fn(v, *oc), b, x0=x0, precond=lambda r: M_fn(r, *pc),
                     tol=o.tol, max_iters=o.max_iters, restart=o.restart,

@@ -181,6 +181,14 @@ class LowOrderMG:
     # defect apply (the defect of a zero iterate is r itself) — at the p=6
     # flagship this turns 5 level-0 p1-operator applies per V-cycle into 2.
     cycles: int = 1
+    fine_level0: bool | None = None  # None -> auto (True for matrix-free systems).
+    # Smooth level 0 with the FINE order-p operator instead of a p=1
+    # rediscretization on the full GLL lattice.  The p1-on-GLL operator's QP
+    # space is (2*p*ne)^d — at the p=6 flagship 72^3 = 5x the fine operator's
+    # 42^3 — so one "cheap" low-order smoothing apply costs MORE than the
+    # 0.21ms fused fine apply.  Using the fine operator makes the V-cycle a
+    # true MG cycle on A itself (p1 levels only below the first coarsening)
+    # and skips assembling the big p1-on-GLL level at setup.
     lag: int = 0  # reuse the hierarchy across up to `lag` reassemblies
     coarse_max_dofs: int = 4000
     eig_ratio: float = 8.0
@@ -228,8 +236,16 @@ class LowOrderMG:
         # iteration, and A_1 is spectrally equivalent (FEM-SEM).
         levels = []
         consts: list = []
+        fine0 = self.fine_level0
+        if fine0 is None:
+            from ..algsys.system import MatrixFreeSystem
+
+            # auto: the fine operator is cheaper than p1-on-GLL only on the
+            # matrix-free fast path; assembled systems keep the rediscretized
+            # level 0 (their per-apply SpMV is gather-bound on TPU)
+            fine0 = isinstance(system, MatrixFreeSystem)
         for li, ax in enumerate(level_axes[:-1]):
-            s_l = _build_p1_system(system, ax, dtype)
+            s_l = system if (li == 0 and fine0) else _build_p1_system(system, ax, dtype)
             n_rows_l = s_l.n_dofs // n_unk
             if lat:
                 try:

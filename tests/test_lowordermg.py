@@ -204,6 +204,35 @@ def test_lowordermg_v02_nonsymmetric_cycle_gmres():
     assert r.tol < 1e-9
 
 
+def test_lowordermg_fine_level0():
+    """fine_level0: smooth level 0 with the FINE order-p operator instead of
+    a p=1 rediscretization on the full GLL lattice.  The V-cycle becomes a
+    true MG cycle on A itself — iteration counts DROP (93 -> 49 at p=4 on
+    this mesh) while the per-cycle cost falls too (the p1-on-GLL operator's
+    QP space is larger than the fine operator's).  Auto-enabled for
+    matrix-free systems; both settings must converge to the same answer."""
+    mesh, system, opts = _build_2d()
+    pre_old = lt.LowOrderMG(smooth_degree=2, fine_level0=False)
+    r_old = system.solve(
+        lt.CG(lt.IterSolverOpts(tol=1e-12, max_iters=3000), precond=pre_old)
+    )
+    x_old = np.array(system.x).copy()
+    system.set_solution_vector(system.x * 0)
+    pre_new = lt.LowOrderMG(smooth_degree=2, fine_level0=True)
+    r_new = system.solve(
+        lt.CG(lt.IterSolverOpts(tol=1e-12, max_iters=3000), precond=pre_new)
+    )
+    assert r_new.tol < 1e-10
+    assert r_new.num_iters < r_old.num_iters, (r_new.num_iters, r_old.num_iters)
+    assert np.abs(np.array(system.x) - x_old).max() < 1e-8
+    # the auto default picks fine_level0 for matrix-free systems
+    system.set_solution_vector(system.x * 0)
+    r_auto = system.solve(
+        lt.CG(lt.IterSolverOpts(tol=1e-12, max_iters=3000), precond=lt.LowOrderMG(smooth_degree=2))
+    )
+    assert abs(r_auto.num_iters - r_new.num_iters) <= 2, (r_auto.num_iters, r_new.num_iters)
+
+
 def test_lowordermg_lattice_layout():
     """CG + LowOrderMG through the channel-major (lattice) solve path: the
     fine operator runs ``layout="lattice"`` (forced LATTICE_SF) while the p1
