@@ -115,6 +115,83 @@ def test_read_gmsh_v4(tmp_path):
     _check_square2(mesh)
 
 
+def _write_gmsh_v2_binary(path):
+    """Emit the _check_square2 mesh in MSH 2.2 binary (28-byte node records)."""
+    import struct
+
+    coords = [(0, 0, 0), (1, 0, 0), (2, 0, 0), (0, 1, 0), (1, 1, 0), (2, 1, 0)]
+    quads = [(10, [1, 2, 5, 4]), (10, [2, 3, 6, 5])]
+    lines = [(1, [1, 2]), (1, [2, 3]), (2, [4, 5]), (2, [5, 6]), (3, [1, 4]), (4, [3, 6])]
+    with open(path, "wb") as f:
+        f.write(b"$MeshFormat\n2.2 1 8\n")
+        f.write(struct.pack("<i", 1))
+        f.write(b"\n$EndMeshFormat\n$Nodes\n6\n")
+        for i, (x, y, z) in enumerate(coords):
+            f.write(struct.pack("<iddd", i + 1, x, y, z))
+        f.write(b"\n$EndNodes\n$Elements\n8\n")
+        tag = 1
+        f.write(struct.pack("<iii", 3, len(quads), 2))  # quads group, 2 tags
+        for phys, nd in quads:
+            f.write(struct.pack("<7i", tag, phys, phys, *nd))
+            tag += 1
+        f.write(struct.pack("<iii", 1, len(lines), 2))  # lines group
+        for phys, nd in lines:
+            f.write(struct.pack("<5i", tag, phys, phys, *nd))
+            tag += 1
+        f.write(b"\n$EndElements\n")
+
+
+def _write_gmsh_v4_binary(path):
+    """Emit the _check_square2 mesh in MSH 4.1 binary (size_t tags/counts)."""
+    import struct
+
+    coords = [(0, 0, 0), (1, 0, 0), (2, 0, 0), (0, 1, 0), (1, 1, 0), (2, 1, 0)]
+    with open(path, "wb") as f:
+        f.write(b"$MeshFormat\n4.1 1 8\n")
+        f.write(struct.pack("<i", 1))
+        f.write(b"\n$EndMeshFormat\n$Entities\n")
+        f.write(struct.pack("<4q", 0, 4, 1, 0))
+        for ctag, phys in [(1, 1), (2, 2), (3, 3), (4, 4)]:  # 4 boundary curves
+            f.write(struct.pack("<i6dq i q", ctag, 0, 0, 0, 2, 1, 0, 1, phys, 0))
+        f.write(struct.pack("<i6dq i q", 1, 0, 0, 0, 2, 1, 0, 1, 10, 0))  # surface
+        f.write(b"\n$EndEntities\n$Nodes\n")
+        f.write(struct.pack("<4q", 1, 6, 1, 6))  # one block, 6 nodes
+        f.write(struct.pack("<iiiq", 2, 1, 0, 6))
+        f.write(struct.pack("<6q", *range(1, 7)))
+        for x, y, z in coords:
+            f.write(struct.pack("<3d", x, y, z))
+        f.write(b"\n$EndNodes\n$Elements\n")
+        f.write(struct.pack("<4q", 5, 8, 1, 8))  # 5 blocks, 8 elements
+        blocks = [
+            (1, 1, 1, [[1, 2], [2, 3]]),
+            (1, 2, 1, [[4, 5], [5, 6]]),
+            (1, 3, 1, [[1, 4]]),
+            (1, 4, 1, [[3, 6]]),
+            (2, 1, 3, [[1, 2, 5, 4], [2, 3, 6, 5]]),
+        ]
+        tag = 1
+        for bdim, btag, etype, elems in blocks:
+            f.write(struct.pack("<iiiq", bdim, btag, etype, len(elems)))
+            for nd in elems:
+                f.write(struct.pack(f"<{1 + len(nd)}q", tag, *nd))
+                tag += 1
+        f.write(b"\n$EndElements\n")
+
+
+def test_read_gmsh_v2_binary(tmp_path):
+    p = tmp_path / "square_bin.msh"
+    _write_gmsh_v2_binary(p)
+    mesh = read_gmsh(str(p), boundary_ids=[1, 2, 3, 4])
+    _check_square2(mesh)
+
+
+def test_read_gmsh_v4_binary(tmp_path):
+    p = tmp_path / "square4_bin.msh"
+    _write_gmsh_v4_binary(p)
+    mesh = read_gmsh(str(p), boundary_ids=[1, 2, 3, 4])
+    _check_square2(mesh)
+
+
 def test_gmsh_orientation_fix(tmp_path):
     # same v2 mesh but first quad given clockwise (negative Jacobian)
     bad = GMSH_V2.replace("1 3 2 10 1 1 2 5 4", "1 3 2 10 1 1 4 5 2")
