@@ -576,6 +576,11 @@ class BoxSystem:
     def n_dofs(self) -> int:
         return self.inner.n_dofs
 
+    @property
+    def _assembly_epoch(self):
+        # preconditioner-parts caching follows the wrapped system's epoch
+        return getattr(self.inner, "_assembly_epoch", None)
+
     def describe(self) -> str:
         Pz, Py = self.grid
         return (

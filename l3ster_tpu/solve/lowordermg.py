@@ -85,6 +85,32 @@ def _interp_1d(fine: np.ndarray, coarse: np.ndarray) -> np.ndarray:
     return P
 
 
+def _cheb(fn_l, r, z0, dinv, lam_max, ocs, degree, eig_ratio, z0_zero=False):
+    """Chebyshev iteration on D^-1 A of the given degree, starting from z0
+    (standard smoothing recurrence).  ``z0_zero`` skips the first operator
+    apply (the defect of a zero iterate is r).  Broadcasting is layout-
+    agnostic: vectors may be single-chip (n, m) or box-stacked (P, L, m) with
+    dinv of matching leading shape."""
+    if degree <= 0:
+        return z0
+    lmax = lam_max
+    lmin = lmax / eig_ratio
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    z = z0
+    resid = dinv[..., None] * (r if z0_zero else r - fn_l(z, *ocs))
+    p = resid / theta
+    z = z + p
+    rho = delta / theta
+    for _ in range(degree - 1):
+        rho_new = 1.0 / (2.0 * theta / delta - rho)
+        resid = dinv[..., None] * (r - fn_l(z, *ocs))
+        p = rho_new * (2.0 / delta * resid + rho * p)
+        z = z + p
+        rho = rho_new
+    return z
+
+
 def _build_p1_system(system, axes, dtype):
     """Assemble the fine problem's kernels at order 1 on the given lattice."""
     import l3ster_tpu as lt
@@ -203,6 +229,12 @@ class LowOrderMG:
         return lambda r: apply(r, *pc)
 
     def setup_parts(self, system, layout: str = "dof"):
+        from ..parallel.box import BoxSystem
+
+        if isinstance(system, BoxSystem):
+            if layout != "dof":
+                raise ValueError("box LowOrderMG runs on the stacked window layout")
+            return self._setup_parts_box(system)
         lat = layout == "lattice"
         axes = _axis_coords(system.mesh)
         if axes is None:
@@ -317,27 +349,7 @@ class LowOrderMG:
         n_levels = len(levels)
 
         def cheb(fn_l, r, z0, dinv, lam_max, ocs, degree, z0_zero=False):
-            """Chebyshev iteration on D^-1 A of the given degree, starting
-            from z0 (standard smoothing recurrence).  ``z0_zero`` skips the
-            first operator apply (the defect of a zero iterate is r)."""
-            if degree <= 0:
-                return z0
-            lmax = lam_max
-            lmin = lmax / eig_ratio
-            theta = 0.5 * (lmax + lmin)
-            delta = 0.5 * (lmax - lmin)
-            z = z0
-            resid = dinv[:, None] * (r if z0_zero else r - fn_l(z, *ocs))
-            p = resid / theta
-            z = z + p
-            rho = delta / theta
-            for _ in range(degree - 1):
-                rho_new = 1.0 / (2.0 * theta / delta - rho)
-                resid = dinv[:, None] * (r - fn_l(z, *ocs))
-                p = rho_new * (2.0 / delta * resid + rho * p)
-                z = z + p
-                rho = rho_new
-            return z
+            return _cheb(fn_l, r, z0, dinv, lam_max, ocs, degree, eig_ratio, z0_zero)
 
         def restrict(x, Ps, n_unk):
             # x (n_f, m) -> coarse via P^T per axis, channel-leading tensors
@@ -430,3 +442,173 @@ class LowOrderMG:
             return z
 
         return apply, tuple(consts)
+
+    def _setup_parts_box(self, box):
+        """V-cycle on a window-decomposed :class:`~l3ster_tpu.parallel.box.BoxSystem`.
+
+        TPU-native decomposed multigrid: level-0 smoothing runs the box
+        operator itself (the fused lattice fast path per shard with ppermute
+        plane halos — ``fine_level0`` semantics are forced, which is the auto
+        default for the matrix-free systems BoxSystem wraps), the restriction
+        contracts each shard's node window with window-sliced per-axis
+        interpolation bands and ALL-REDUCES the partial coarse vectors, and
+        every level below the first coarsening runs REPLICATED on all shards
+        (coarse-grid agglomeration: at flagship scale the coarse work is <5%
+        of the cycle and replication avoids latency-bound tiny-shard applies).
+        Ghost/padding rows are zeroed inside the band slices, so restriction
+        is exact on the owned-unique stacked representation and prolongation
+        never deposits into ghost planes.
+
+        Reference analog: Ifpack2/MueLu-style preconditioning of the
+        MPI-distributed operator (``solve/Ifpack2Preconditioners.hpp:85-192``)
+        — which the reference cannot offer matrix-free; this is the
+        decomposed counterpart of the single-chip LowOrderMG.
+        """
+        inner = box.inner
+        axes = _axis_coords(inner.mesh)
+        if axes is None:
+            raise ValueError(
+                "LowOrderMG requires a structured lattice mesh with lex node numbering"
+            )
+        if inner.mesh.dim != 3:
+            raise ValueError("box LowOrderMG is 3D-only (box decomposition is)")
+        dtype = box.dtype
+        n_unk = inner.n_dofs // inner.mesh.n_nodes
+
+        # lattice hierarchy (same construction rules as the single-chip path)
+        level_axes = [axes]
+        while len(level_axes) < self.n_levels:
+            cand = [_coarsen(a) for a in level_axes[-1]]
+            nd = int(np.prod([len(a) for a in cand])) * n_unk
+            level_axes.append(cand)
+            if nd <= self.coarse_max_dofs:
+                break
+        while int(np.prod([len(a) for a in level_axes[-1]])) * n_unk > self.coarse_max_dofs:
+            if all(len(a) <= 2 for a in level_axes[-1]):
+                break
+            level_axes.append([_coarsen(a) for a in level_axes[-1]])
+        if len(level_axes) < 2:
+            raise ValueError("box LowOrderMG needs at least one coarsening level")
+        c_ax = level_axes[1]
+
+        fn_box, oc = box.operator_parts()
+        d = box.diagonal()  # unit entries on ghost/padding planes
+        dinv = jnp.where(jnp.abs(d) > 1e-14, 1.0 / d, 1.0)
+        free_st = box._free_st
+        own_st = box._own_st
+
+        # lambda_max of D^-1 A by power iteration on the stacked layout
+        v = jax.random.normal(jax.random.PRNGKey(0), free_st.shape + (1,), dtype=dtype)
+        v = v * own_st[..., None]
+
+        @jax.jit
+        def power(v, dinv, *ocs):
+            def step(_, v):
+                w = dinv[..., None] * fn_box(v, *ocs)
+                return w / jnp.linalg.norm(w)
+
+            v = jax.lax.fori_loop(0, 15, step, v)
+            w = dinv[..., None] * fn_box(v, *ocs)
+            return jnp.vdot(v, w) / jnp.vdot(v, v)
+
+        lam0 = float(power(v, dinv, *oc)) * 1.05
+
+        # window-sliced per-axis interpolation bands (ghost + padding rows
+        # zeroed: every global fine row is live in exactly one shard's slice)
+        P = box.n_shards
+        Pz_g, Py_g = box.grid
+        nz_loc, ny_loc, nx = box._n1_loc[2], box._n1_loc[1], box._n1_loc[0]
+        ordr = box._order
+        Pxb = _interp_1d(axes[0], c_ax[0])
+        Pyb = _interp_1d(axes[1], c_ax[1])
+        Pzb = _interp_1d(axes[2], c_ax[2])
+        nX, nY, nZ = Pxb.shape[1], Pyb.shape[1], Pzb.shape[1]
+        Pz_sl = np.zeros((P, nz_loc, nZ))
+        Py_sl = np.zeros((P, ny_loc, nY))
+        for pz in range(Pz_g):
+            for py in range(Py_g):
+                p = pz * Py_g + py
+                nzr = box._nez_real[pz] * ordr + 1 if box._nez_real[pz] else 0
+                nyr = box._ney_real[py] * ordr + 1 if box._ney_real[py] else 0
+                if nzr:
+                    Pz_sl[p, :nzr] = Pzb[box._z0[pz] : box._z0[pz] + nzr]
+                if nyr:
+                    Py_sl[p, :nyr] = Pyb[box._y0[py] : box._y0[py] + nyr]
+                if pz > 0:
+                    Pz_sl[p, 0] = 0.0  # ghost plane: owned by the z-predecessor
+                if py > 0:
+                    Py_sl[p, 0] = 0.0  # ghost row: owned by the y-predecessor
+        Pz_sl = jnp.asarray(Pz_sl, dtype)
+        Py_sl = jnp.asarray(Py_sl, dtype)
+        Pxb_j = jnp.asarray(Pxb, dtype)
+
+        # levels below the first coarsening: replicated single-chip machinery
+        coarse_dense = int(np.prod([len(a) for a in c_ax])) * n_unk <= self.coarse_max_dofs
+        if coarse_dense:
+            Binv = jnp.asarray(_assembled_dense_inv(inner, c_ax, dtype), dtype)
+            coarse_consts: tuple = (Binv,)
+            c_app = None
+        else:
+            s1 = _build_p1_system(inner, c_ax, dtype)
+            sub = LowOrderMG(
+                n_levels=max(1, self.n_levels - 1),
+                smooth_degree=self.smooth_degree,
+                pre_degree=self.pre_degree,
+                cycles=1,
+                fine_level0=True,  # level 0 of the sub-cycle IS s1's operator
+                coarse_max_dofs=self.coarse_max_dofs,
+                eig_ratio=self.eig_ratio,
+            )
+            c_app, sub_consts = sub.setup_parts(s1)
+            coarse_consts = (jnp.asarray(s1.free_mask, dtype),) + tuple(sub_consts)
+
+        n_oc = len(oc)
+        pre_degree = self.pre_degree if self.pre_degree is not None else self.smooth_degree
+        smooth_degree = self.smooth_degree
+        cycles = self.cycles
+        eig_ratio = self.eig_ratio
+        consts = tuple(oc) + (dinv, free_st, Pz_sl, Py_sl, Pxb_j) + coarse_consts
+
+        def apply(r, *cs):
+            ocs = cs[:n_oc]
+            dinv_, free_, Pz_s, Py_s, Px_ = cs[n_oc : n_oc + 5]
+            ccs = cs[n_oc + 5 :]
+            m = r.shape[-1]
+
+            def vcycle0(r0):
+                if pre_degree > 0:
+                    z = _cheb(
+                        fn_box, r0, jnp.zeros_like(r0), dinv_, lam0, ocs,
+                        pre_degree, eig_ratio, z0_zero=True,
+                    )
+                    rcf = r0 - fn_box(z, *ocs)
+                else:
+                    z = jnp.zeros_like(r0)
+                    rcf = r0
+                rcf = rcf * free_[..., None]
+                # restriction: shard-local window band contraction, then the
+                # sum over the shard axis lowers to an all-reduce
+                t = rcf.reshape(P, nz_loc, ny_loc, nx, n_unk, m)
+                t = jnp.einsum("pzyxcm,pzZ->pZyxcm", t, Pz_s)
+                t = jnp.einsum("pZyxcm,pyY->pZYxcm", t, Py_s)
+                t = jnp.einsum("pZYxcm,xX->pZYXcm", t, Px_)
+                rc = jnp.sum(t, axis=0).reshape(-1, m)
+                if coarse_dense:
+                    zc = ccs[0] @ rc
+                else:
+                    zc = c_app(rc * ccs[0][:, None], *ccs[1:])
+                # prolongation: replicated coarse -> each shard's fine window
+                # (ghost/padding band rows are zero, so ghosts stay zero)
+                tz = zc.reshape(nZ, nY, nX, n_unk, m)
+                tz = jnp.einsum("ZYXcm,pzZ->pzYXcm", tz, Pz_s)
+                tz = jnp.einsum("pzYXcm,pyY->pzyXcm", tz, Py_s)
+                tz = jnp.einsum("pzyXcm,xX->pzyxcm", tz, Px_)
+                z = z + tz.reshape(r0.shape) * free_[..., None]
+                return _cheb(fn_box, r0, z, dinv_, lam0, ocs, smooth_degree, eig_ratio)
+
+            z = vcycle0(r)
+            for _ in range(cycles - 1):
+                z = z + vcycle0(r - fn_box(z, *ocs))
+            return z
+
+        return apply, consts
