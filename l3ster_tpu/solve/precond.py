@@ -81,6 +81,39 @@ def _schwarz_csrs(system, who: str, overlap: int = 1):
     return out, n
 
 
+def _stacked_spmv(csrs, n, dtype):
+    """Per-shard local CSR matvec in the stacked (P, n, n_rhs) layout.
+
+    Pads every shard to the max nnz; padded entries scatter zero into a dump
+    row.  Used by multi-sweep distributed relaxation (the local residual
+    update A_p z inside the Schwarz solve)."""
+    import numpy as np
+
+    nnz_max = max(int(pp[-1]) for _, _, pp in csrs)
+    P = len(csrs)
+    data = np.zeros((P, nnz_max))
+    rows = np.full((P, nnz_max), n, dtype=np.int64)
+    cols = np.zeros((P, nnz_max), dtype=np.int64)
+    for p, (dd, ii, pp) in enumerate(csrs):
+        m = int(pp[-1])
+        data[p, :m] = dd[:m]
+        cols[p, :m] = ii[:m]
+        rows[p, :m] = np.repeat(np.arange(n), np.diff(pp))
+
+    def spmv(x, data, rows, cols):
+        def one(xp, dp, rp, cp):
+            y = jnp.zeros((n + 1, xp.shape[-1]), xp.dtype)
+            return y.at[rp].add(dp[:, None] * xp[cp])[:n]
+
+        return jax.vmap(one)(x, data, rows, cols)
+
+    return spmv, (
+        jnp.asarray(data, dtype),
+        jnp.asarray(rows, jnp.int32),
+        jnp.asarray(cols, jnp.int32),
+    )
+
+
 def _schwarz_wrap(system, local_apply, consts, overlap: int):
     """Distributed preconditioner apply around a per-shard local solve.
 
@@ -381,16 +414,39 @@ class SGS:
             dvec_s = jnp.asarray(dstk, dtype)
             nfd = len(cf)
 
-            def local(r, dvec_s, *cs):
-                w = fwd(r, *cs[:nfd])
-                return bwd(w * dvec_s[..., None], *cs[nfd:])
+            n_tri = nfd + len(cb)
 
-            if self.sweeps > 1:
-                raise NotImplementedError(
-                    "SGS sweeps > 1 is single-device-only (distributed sweeps "
-                    "would need the operator inside the Schwarz shard_map)"
-                )
-            return _schwarz_wrap(system, local, (dvec_s, *cf, *cb), self.overlap)
+            def M_loc(r, cs):
+                w = fwd(r, *cs[1 : 1 + nfd])
+                return bwd(w * cs[0][..., None], *cs[1 + nfd : 1 + n_tri])
+
+            if self.sweeps <= 1:
+
+                def local(r, *cs):
+                    return M_loc(r, cs)
+
+                return _schwarz_wrap(system, local, (dvec_s, *cf, *cb), self.overlap)
+            # Ifpack2 semantics: ``sweeps`` relaxes each rank's LOCAL matrix
+            # (processor-block relaxation) — the extra sweeps run INSIDE the
+            # Schwarz solve against the local CSR, so the composed local
+            # M_p stays SPD (lambda(M_p A_p) <= 1 for SGS) and the additive
+            # sum is CG-safe.  A GLOBAL composition z + M(r - A z) is NOT:
+            # unweighted overlap-1 Schwarz has lambda_max(MA) >= 2 on the
+            # overlap, making 2M - MAM indefinite (measured: CG stalls at
+            # rel res 0.23 on the 4-shard test problem).
+            spmv, scs = _stacked_spmv(csrs, n, dtype)
+            n_sweeps = self.sweeps
+
+            def local(r, *cs):
+                tri_cs, sp_cs = cs[: 1 + n_tri], cs[1 + n_tri :]
+                z = M_loc(r, tri_cs)
+                for _ in range(n_sweeps - 1):
+                    z = z + M_loc(r - spmv(z, *sp_cs), tri_cs)
+                return z
+
+            return _schwarz_wrap(
+                system, local, (dvec_s, *cf, *cb, *scs), self.overlap
+            )
         data, indices, indptr, n = _assembled_csr(system, "SGS")
         fwd, cf = build_tri_solve(
             data, indices, indptr, n, lower=True, unit_diag=False, dtype=dtype

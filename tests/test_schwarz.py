@@ -146,6 +146,23 @@ def test_distributed_cg_sgs(n_shards):
     _check_solution(mesh, system, opts)
 
 
+def test_distributed_sgs_multi_sweep():
+    """Distributed SGS with sweeps>1 (Ifpack2 relaxation semantics): extra
+    sweeps strengthen M, so CG must converge in no more iterations than one
+    sweep, and the answer is unchanged."""
+    mesh, system, opts = _assembled_system(4)
+    res1 = system.solve(
+        lt.CG(lt.IterSolverOpts(tol=1e-12, max_iters=3000), precond=lt.SGS(sweeps=1))
+    )
+    system.set_solution_vector(system.x * 0)
+    res2 = system.solve(
+        lt.CG(lt.IterSolverOpts(tol=1e-12, max_iters=3000), precond=lt.SGS(sweeps=2))
+    )
+    assert res2.tol < 1e-10
+    assert res2.num_iters <= res1.num_iters, (res2.num_iters, res1.num_iters)
+    _check_solution(mesh, system, opts)
+
+
 def test_distributed_gmres_ilut():
     mesh, system, opts = _assembled_system(4)
     res = system.solve(
