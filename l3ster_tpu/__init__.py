@@ -61,6 +61,7 @@ from .post.integral import compute_integral, compute_norm_l2
 from .post.native_io import Loader, load, save
 from .post.solution import FieldAccess, SolutionManager
 from .post.vtk import ExportDefinition, PvtuExporter
+from .solve.adjoint import linear_solve
 from .solve.direct import Klu2, Lapack
 from .solve.interface import IterSolveResult, IterSolverOpts
 from .solve.krylov import CG, Gmres
