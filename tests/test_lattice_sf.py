@@ -64,10 +64,11 @@ def _build_3d(strategy, kernel, n_eq, order=3, n1=4):
     return system
 
 
-@pytest.mark.parametrize("order", [2, 3, 6])
+@pytest.mark.parametrize("order", [2, 3, 5, 6, 7, 8])
 def test_lattice_sf_matches_sumfact_3d(order):
-    s1 = _build_3d(LocalEvalStrategy.SUM_FACT, _diffusion_3d, 7, order)
-    s2 = _build_3d(LocalEvalStrategy.LATTICE_SF, _diffusion_3d, 7, order)
+    n1 = 4 if order <= 4 else 3  # bound node counts at high p
+    s1 = _build_3d(LocalEvalStrategy.SUM_FACT, _diffusion_3d, 7, order, n1)
+    s2 = _build_3d(LocalEvalStrategy.LATTICE_SF, _diffusion_3d, 7, order, n1)
     x = jnp.asarray(np.random.default_rng(order).normal(size=(s1.n_dofs, 1)))
     y1, y2 = s1.operator()(x), s2.operator()(x)
     assert float(jnp.abs(y1 - y2).max() / jnp.abs(y1).max()) < 1e-12
