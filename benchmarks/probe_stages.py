@@ -108,19 +108,20 @@ def main() -> None:
     A = np.asarray(A_const)
 
     def volume_prefix(depth):
-        def fn(x, *gconsts):
-            tabs = _tabs(order, q_order, ne, x.dtype)
+        def fn(t, *gconsts):
+            # mirrors local_apply_lattice's fused_z branch EXACTLY: lattice
+            # (tensor_io) input, cz-layout kernel handoff, natural einsums
+            tabs = _tabs(order, q_order, ne, t.dtype)
             (NxT, DxT), (NyT, DyT), (NzT, DzT) = tabs
-            t = x.reshape(n_rows, c).T.reshape((c,) + tuple(reversed(n1)))
             ax = jnp.einsum("czyx,xQ->czyQ", t, NxT, precision=_PREC)
             adx0 = jnp.einsum("czyx,xQ->czyQ", t, DxT, precision=_PREC)
             if depth == 1:
                 return jnp.sum(ax) + jnp.sum(adx0)
             S, R, Q = tuple(q1 * n for n in reversed(ne))
             n1z = t.shape[1]
-            b = jnp.einsum("czyQ,yR->zcRQ", ax, NyT, precision=_PREC).reshape(n1z, c, R * Q)
-            bdy = jnp.einsum("czyQ,yR->zcRQ", ax, DyT, precision=_PREC).reshape(n1z, c, R * Q)
-            bdx = jnp.einsum("czyQ,yR->zcRQ", adx0, NyT, precision=_PREC).reshape(n1z, c, R * Q)
+            b = jnp.einsum("czyQ,yR->czRQ", ax, NyT, precision=_PREC).reshape(c, n1z, R * Q)
+            bdy = jnp.einsum("czyQ,yR->czRQ", ax, DyT, precision=_PREC).reshape(c, n1z, R * Q)
+            bdx = jnp.einsum("czyQ,yR->czRQ", adx0, NyT, precision=_PREC).reshape(c, n1z, R * Q)
             if depth == 2:
                 return jnp.sum(b) + jnp.sum(bdy) + jnp.sum(bdx)
             if geom_parts is not None:
@@ -130,26 +131,27 @@ def main() -> None:
             Ngz, Dgz = banded_tables(order, q_order, ne[2])
             a, ady, adx = fused_z_sweep_v2(
                 A, b, bdy, bdx, geom_t, NzT, DzT, host_tables=(Ngz.T, Dgz.T),
+                layout="cz",
             )
             if depth == 3:
                 return jnp.sum(a) + jnp.sum(ady) + jnp.sum(adx)
-            a = a.reshape(n1z, c, R, Q)
-            ady = ady.reshape(n1z, c, R, Q)
-            adx = adx.reshape(n1z, c, R, Q)
-            a2 = jnp.einsum("zcRQ,yR->czyQ", a, NyT, precision=_PREC) + jnp.einsum(
-                "zcRQ,yR->czyQ", ady, DyT, precision=_PREC
+            a = a.reshape(c, n1z, R, Q)
+            ady = ady.reshape(c, n1z, R, Q)
+            adx = adx.reshape(c, n1z, R, Q)
+            a2 = jnp.einsum("czRQ,yR->czyQ", a, NyT, precision=_PREC) + jnp.einsum(
+                "czRQ,yR->czyQ", ady, DyT, precision=_PREC
             )
-            adx2 = jnp.einsum("zcRQ,yR->czyQ", adx, NyT, precision=_PREC)
+            adx2 = jnp.einsum("czRQ,yR->czyQ", adx, NyT, precision=_PREC)
             if depth == 4:
                 return jnp.sum(a2) + jnp.sum(adx2)
             y = jnp.einsum("czyQ,xQ->czyx", a2, NxT, precision=_PREC) + jnp.einsum(
                 "czyQ,xQ->czyx", adx2, DxT, precision=_PREC
             )
-            return jnp.sum(y.reshape(c, -1).T)
+            return jnp.sum(y)
 
         return fn
 
-    x = jnp.ones((system.n_dofs,), jnp.float32)
+    x = jnp.ones((c,) + tuple(reversed(n1)), jnp.float32)
     gconsts = geom_parts if geom_parts is not None else (Ji_l, w_l)
     results = {}
     prev = 0.0
@@ -173,7 +175,12 @@ def main() -> None:
 
     fnc, constsc = system.operator_parts()
     dt_full = timed(lambda v, *cs: fnc(v, *cs), x2, constsc)
-    results["constrained apply"] = dict(cum_ms=round(dt_full * 1e3, 4))
+    results["constrained apply (dof layout)"] = dict(cum_ms=round(dt_full * 1e3, 4))
+
+    fnl, constsl = system.operator_parts(layout="lattice")
+    xl = system.to_lattice_layout(x2)
+    dt_lat = timed(lambda v, *cs: fnl(v, *cs), xl, constsl)
+    results["constrained apply (lattice layout)"] = dict(cum_ms=round(dt_lat * 1e3, 4))
 
     print(json.dumps(results, indent=1))
 

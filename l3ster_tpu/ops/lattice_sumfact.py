@@ -338,9 +338,6 @@ def local_apply_lattice(
         else:
             ax = jnp.einsum("czyx,xQ->czyQ", t, NxT, precision=_PREC)
             adx0 = jnp.einsum("czyx,xQ->czyQ", t, DxT, precision=_PREC)
-        b = jnp.einsum("czyQ,yR->zcRQ", ax, NyT, precision=_PREC).reshape(n1z, c, R * Q)
-        bdy = jnp.einsum("czyQ,yR->zcRQ", ax, DyT, precision=_PREC).reshape(n1z, c, R * Q)
-        bdx = jnp.einsum("czyQ,yR->zcRQ", adx0, NyT, precision=_PREC).reshape(n1z, c, R * Q)
         geom_t = geom if geom is not None else (
             "full",
             Ji_l.reshape(dim * dim, S, R * Q),
@@ -351,12 +348,28 @@ def local_apply_lattice(
 
             if geom is not None:
                 raise ValueError("v1 z-sweep has no factorized-geometry path")
+            b = jnp.einsum("czyQ,yR->zcRQ", ax, NyT, precision=_PREC).reshape(n1z, c, R * Q)
+            bdy = jnp.einsum("czyQ,yR->zcRQ", ax, DyT, precision=_PREC).reshape(n1z, c, R * Q)
+            bdx = jnp.einsum("czyQ,yR->zcRQ", adx0, NyT, precision=_PREC).reshape(n1z, c, R * Q)
             a, ady, adx = fused_z_sweep(
                 np.asarray(A_const), b, bdy, bdx,
                 Ji_l.reshape(dim * dim, S, R * Q), w_l.reshape(S, R * Q),
                 NzT, DzT,
             )
+            a = a.reshape(n1z, c, R, Q)
+            ady = ady.reshape(n1z, c, R, Q)
+            adx = adx.reshape(n1z, c, R, Q)
+            a2 = jnp.einsum("zcRQ,yR->czyQ", a, NyT, precision=_PREC) + jnp.einsum(
+                "zcRQ,yR->czyQ", ady, DyT, precision=_PREC
+            )
+            adx2 = jnp.einsum("zcRQ,yR->czyQ", adx, NyT, precision=_PREC)
         else:
+            # NATURAL-layout handoff: the y-stage einsums keep their (c, z)
+            # batch order (no transpose-on-write) and the kernel's cz blocks
+            # need no pad+moveaxis relayout on either side
+            b = jnp.einsum("czyQ,yR->czRQ", ax, NyT, precision=_PREC).reshape(c, n1z, R * Q)
+            bdy = jnp.einsum("czyQ,yR->czRQ", ax, DyT, precision=_PREC).reshape(c, n1z, R * Q)
+            bdx = jnp.einsum("czyQ,yR->czRQ", adx0, NyT, precision=_PREC).reshape(c, n1z, R * Q)
             Ngz, Dgz = banded_tables(order, q_order, ne[2])  # host numpy
             var_t = None
             if var is not None:
@@ -368,14 +381,15 @@ def local_apply_lattice(
                 interpret=jax.default_backend() == "cpu",
                 host_tables=(Ngz.T, Dgz.T),
                 var=var_t,
+                layout="cz",
             )
-        a = a.reshape(n1z, c, R, Q)
-        ady = ady.reshape(n1z, c, R, Q)
-        adx = adx.reshape(n1z, c, R, Q)
-        a2 = jnp.einsum("zcRQ,yR->czyQ", a, NyT, precision=_PREC) + jnp.einsum(
-            "zcRQ,yR->czyQ", ady, DyT, precision=_PREC
-        )
-        adx2 = jnp.einsum("zcRQ,yR->czyQ", adx, NyT, precision=_PREC)
+            a = a.reshape(c, n1z, R, Q)
+            ady = ady.reshape(c, n1z, R, Q)
+            adx = adx.reshape(c, n1z, R, Q)
+            a2 = jnp.einsum("czRQ,yR->czyQ", a, NyT, precision=_PREC) + jnp.einsum(
+                "czRQ,yR->czyQ", ady, DyT, precision=_PREC
+            )
+            adx2 = jnp.einsum("czRQ,yR->czyQ", adx, NyT, precision=_PREC)
         if g > 1:
             a2g = a2.reshape(c, n1z, n1yp // g, g * Q)
             adx2g = adx2.reshape(c, n1z, n1yp // g, g * Q)

@@ -87,6 +87,7 @@ def _split_hi_lo(T: np.ndarray, split: bool, dtype):
 def _make_kernel(
     A: np.ndarray | None, c: int, diag: bool, split: bool, LB: int, S: int, Sp: int,
     var_spec: tuple | None = None,  # (nz_idx, n_eq): streamed variable A
+    cz: bool = False,  # I/O blocks are (c, n1z, LB): slice channels in-kernel
 ):
     if var_spec is not None:
         nz_idx, n_eq = var_spec
@@ -136,19 +137,37 @@ def _make_kernel(
             av_ref, *rest = rest
         (tndh, tndl, gnh, gnl, gndh, gndl, a_ref, ady_ref, adx_ref) = rest
         dt = jnp.float32 if split else b_ref.dtype
-        CL = b_ref.shape[1]  # c * LB lanes
+        CL = c * LB  # c * LB lanes
 
         def lane_rep(x):  # (r, LB) -> (r, c*LB)
             return x if c == 1 else jnp.concatenate([x] * c, axis=1)
 
+        def read_io(ref):  # -> (n1z, c*LB) channel-major lanes
+            if not cz:
+                return ref[:]
+            # (c, n1z, LB) natural-layout block: channel concat is a VMEM
+            # shuffle; the HBM-side pad+moveaxis relayout copies are gone
+            return (
+                ref[0]
+                if c == 1
+                else jnp.concatenate([ref[u] for u in range(c)], axis=1)
+            )
+
+        def write_io(ref, val):  # val (rows, c*LB)
+            if not cz:
+                ref[:] = val
+                return
+            for u in range(c):
+                ref[u] = val[:, u * LB : (u + 1) * LB]
+
         # ---- z interpolation: channels ride the lane axis
-        bs = xsplit(b_ref[:])
+        bs = xsplit(read_io(b_ref))
         vdz = dotT(tndh[:], tndl[:], bs, dt)  # (2Sp, c*LB): rows [0:S]=v, [Sp:Sp+S]=dz
         v = vdz[:S]
         dz = vdz[Sp : Sp + S]
         # dy/dx share the N-table: one dot at doubled N (same MXU cycles,
         # half the Mosaic op count / pipeline bubbles)
-        bdyx = jnp.concatenate([bdy_ref[:], bdx_ref[:]], axis=1)
+        bdyx = jnp.concatenate([read_io(bdy_ref), read_io(bdx_ref)], axis=1)
         dydx = dotT(tndh[:, :Sp], tndl[:, :Sp], xsplit(bdyx), dt)
         dy = dydx[:S, :CL]
         dx = dydx[:S, CL:]
@@ -230,18 +249,18 @@ def _make_kernel(
         # (K = 2S: halves the K-padding waste of two K=S dots); ty/tx share
         # Nz^T at doubled N
         t0z = jnp.concatenate([tvec[0], tz], axis=0)  # (2S, c*LB)
-        a_ref[:] = dotT(gndh[:], gndl[:], xsplit(t0z), dt)
+        write_io(a_ref, dotT(gndh[:], gndl[:], xsplit(t0z), dt))
         tyx = jnp.concatenate([ty, tx], axis=1)  # (S, 2*c*LB)
         oyx = dotT(gnh[:], gnl[:], xsplit(tyx), dt)
-        ady_ref[:] = oyx[:, :CL]
-        adx_ref[:] = oyx[:, CL:]
+        write_io(ady_ref, oyx[:, :CL])
+        write_io(adx_ref, oyx[:, CL:])
 
     return kernel
 
 
 def fused_z_sweep_v2(
     A_const: np.ndarray | None,
-    b: jnp.ndarray,  # (n1z, c, RQ) post-y-stage values
+    b: jnp.ndarray,  # (n1z, c, RQ) post-y-stage values; (c, n1z, RQ) with layout="cz"
     bdy: jnp.ndarray,
     bdx: jnp.ndarray,
     geom: tuple,  # ("full", ji (9,S,RQ), w (S,RQ)) or ("diag", jx, jy, jz, wyx, wz)
@@ -251,12 +270,26 @@ def fused_z_sweep_v2(
     interpret: bool = False,
     host_tables: tuple | None = None,  # numpy (NzT, DzT) when NzT/DzT are traced
     var: tuple | None = None,  # (nz_idx, A_var (K, S, RQ), n_eq) variable A
+    layout: str = "zc",
 ):
-    """Returns (a, ady, adx), each (n1z, c, RQ): the pre-y-transpose tensors."""
+    """Returns (a, ady, adx) pre-y-transpose tensors in the input layout.
+
+    ``layout="cz"`` takes/returns the NATURAL (c, n1z, RQ) einsum layout:
+    blocks are (c, n1z, LB) and channels are lane-concatenated in VMEM, so
+    the surrounding XLA graph needs no pad+moveaxis relayout copies (~19MB
+    of HBM traffic at the p=6 flagship) and the y-stage einsums keep their
+    batch order (no transpose-on-write)."""
     from jax.experimental import pallas as pl
 
+    import os
+
     A = None if A_const is None else np.asarray(A_const, np.float64)
-    n1z, c, RQ = b.shape
+    block = int(os.environ.get("L3STER_TPU_ZSWEEP_BLOCK", block))
+    cz = layout == "cz"
+    if cz:
+        c, n1z, RQ = b.shape
+    else:
+        n1z, c, RQ = b.shape
     S = NzT.shape[1]
     Sp = -(-S // 8) * 8
     diag = geom[0] == "diag"
@@ -272,18 +305,30 @@ def fused_z_sweep_v2(
     n_blocks = -(-RQ // LB)
     RQp = n_blocks * LB
 
-    def to_lanes(x):
-        # (n1z, c, RQ) -> (n1z, n_blocks * c * LB): lanes tile-major then
-        # channel-major, so each grid block sees channel-major (c, LB) lanes
-        if RQp != RQ:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, RQp - RQ)))
-        x = x.reshape(n1z, c, n_blocks, LB)
-        return jnp.moveaxis(x, 2, 1).reshape(n1z, n_blocks * c * LB)
+    if cz:
 
-    def from_lanes(x):
-        x = x.reshape(n1z, n_blocks, c, LB)
-        x = jnp.moveaxis(x, 1, 2).reshape(n1z, c, RQp)
-        return x[..., :RQ] if RQp != RQ else x
+        def to_lanes(x):  # (c, n1z, RQ): pad only, blocks slice the lane axis
+            return (
+                jnp.pad(x, ((0, 0), (0, 0), (0, RQp - RQ))) if RQp != RQ else x
+            )
+
+        def from_lanes(x):
+            return x[..., :RQ] if RQp != RQ else x
+
+    else:
+
+        def to_lanes(x):
+            # (n1z, c, RQ) -> (n1z, n_blocks * c * LB): lanes tile-major then
+            # channel-major, so each grid block sees channel-major (c, LB) lanes
+            if RQp != RQ:
+                x = jnp.pad(x, ((0, 0), (0, 0), (0, RQp - RQ)))
+            x = x.reshape(n1z, c, n_blocks, LB)
+            return jnp.moveaxis(x, 2, 1).reshape(n1z, n_blocks * c * LB)
+
+        def from_lanes(x):
+            x = x.reshape(n1z, n_blocks, c, LB)
+            x = jnp.moveaxis(x, 1, 2).reshape(n1z, c, RQp)
+            return x[..., :RQ] if RQp != RQ else x
 
     if host_tables is not None:
         npN = np.asarray(host_tables[0], np.float64)
@@ -302,8 +347,12 @@ def fused_z_sweep_v2(
     kernel = _make_kernel(
         A, c, diag, split, LB, S, Sp,
         var_spec=None if var is None else (var[0], var[2]),
+        cz=cz,
     )
-    bl = pl.BlockSpec((n1z, c * LB), lambda r: (0, r))
+    if cz:
+        bl = pl.BlockSpec((c, n1z, LB), lambda r: (0, 0, r))
+    else:
+        bl = pl.BlockSpec((n1z, c * LB), lambda r: (0, r))
     in_specs = [bl, bl, bl]
     args = [to_lanes(b), to_lanes(bdy), to_lanes(bdx)]
     if diag:
@@ -348,9 +397,10 @@ def fused_z_sweep_v2(
         pl.BlockSpec((2 * S, n1z), lambda r: (0, 0)),
         pl.BlockSpec((2 * S, n1z), lambda r: (0, 0)),
     ]
+    out_sh = (c, n1z, RQp) if cz else (n1z, n_blocks * c * LB)
     out = pl.pallas_call(
         kernel,
-        out_shape=[jax.ShapeDtypeStruct((n1z, n_blocks * c * LB), b.dtype)] * 3,
+        out_shape=[jax.ShapeDtypeStruct(out_sh, b.dtype)] * 3,
         grid=(n_blocks,),
         in_specs=in_specs,
         out_specs=[bl] * 3,

@@ -255,6 +255,13 @@ def test_fused_z_sweep_v2_parity(p, ne, qo):
     r2 = fused_z_sweep_v2(A, b, bdy, bdx, g, NzT, DzT, block=256, interpret=True)
     for x1, x2 in zip(r1, r2):
         assert float(jnp.abs(x1 - x2).max()) < 1e-11
+    # natural (c, n1z, RQ) layout: same answers, relayout-free blocks
+    r3 = fused_z_sweep_v2(
+        A, b.transpose(1, 0, 2), bdy.transpose(1, 0, 2), bdx.transpose(1, 0, 2),
+        g, NzT, DzT, block=256, interpret=True, layout="cz",
+    )
+    for x1, x3 in zip(r1, r3):
+        assert float(jnp.abs(x1 - x3.transpose(1, 0, 2)).max()) < 1e-11
     # a skewed Jacobian must NOT be detected as diagonal
     assert detect_diag_geometry(np.asarray(Ji), np.asarray(w), S) is None
 
