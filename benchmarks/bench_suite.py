@@ -79,11 +79,20 @@ def bench_apply_p_sweep(jnp, lt, jax, orders, n_1d=None, reps=100):
         system.begin_assembly()
         system.assemble_problem(kd, [0])
         system.end_assembly()
-        fn, consts = system.operator_parts()
+        # channel-major (lattice) layout when available: the layout the CG
+        # loop actually runs the operator in (conversion is once per solve)
+        layout = "lattice" if system.lattice_layout_key() is not None else "dof"
+        fn, consts = (
+            system.operator_parts(layout="lattice")
+            if layout == "lattice"
+            else system.operator_parts()
+        )
         # chained applies + host scalar readback: block_until_ready returns
         # early through the remote-TPU tunnel, and the readback itself costs
         # ~29ms FIXED per call — so time two chain lengths and use the slope
         x = jnp.ones((system.n_dofs, 1), jnp.float32)
+        if layout == "lattice":
+            x = system.to_lattice_layout(x)
 
         def chain_total(K):
             @jax.jit
@@ -111,7 +120,7 @@ def bench_apply_p_sweep(jnp, lt, jax, orders, n_1d=None, reps=100):
         gfl = _flops_apply_3d(p, (n_p - 1) ** 3, 4, 7, q1) / dt / 1e9
         _emit(
             f"matrix-free apply p={p}", gfl, "GFLOP/s",
-            apply_ms=round(dt * 1e3, 3), n_dofs=system.n_dofs,
+            apply_ms=round(dt * 1e3, 3), n_dofs=system.n_dofs, layout=layout,
         )
 
 
