@@ -140,20 +140,34 @@ def bench_assembly_rate(jnp, lt, jax, order=4, n_1d=5, reps=10):
         K, F = local_system(kd, tab, geom, dtype=jnp.float32, qp_chunk=128)
         return K, F
 
-    f = jax.jit(assemble)
     verts = jnp.asarray(blk.vertices, jnp.float32)
 
-    def total(n):
-        K, F = f(verts)
-        float(jnp.sum(K))  # host readback forces completion (tunnel semantics)
-        t0 = time.perf_counter()
-        for _ in range(n):
-            K, F = f(verts)
-        float(jnp.sum(K))
-        return time.perf_counter() - t0
+    # chained batched assemblies inside ONE jit (the repo timing rule: time
+    # the slope between two fori_loop chain lengths; a python loop of jit
+    # calls would be bounded by the ~1.5ms/dispatch tunnel latency and swing
+    # with tunnel load -- recorded runs varied 11-17ms/batch).  The body
+    # perturbs the geometry with the previous result so iterations cannot
+    # fold, matching how a transient step re-assembles on moved fields.
+    def chain_total(K_chain):
+        @jax.jit
+        def chained(verts):
+            def body(i, carry):
+                v, acc = carry
+                K, F = assemble(v)
+                s = jnp.sum(K) * 1e-30
+                return v * (1.0 + s), acc + s
 
-    # slope between two reps counts cancels the ~29ms fixed readback cost
-    dt = (total(4 * reps) - total(reps)) / (3 * reps)
+            _, acc = jax.lax.fori_loop(0, K_chain, body, (verts, jnp.float32(0)))
+            return acc
+
+        float(chained(verts))
+        t0 = time.perf_counter()
+        float(chained(verts))
+        t1 = time.perf_counter()
+        float(chained(verts))
+        return min(t1 - t0, time.perf_counter() - t1)
+
+    dt = (chain_total(4 * reps) - chain_total(reps)) / (3 * reps)
     _emit(
         f"local LSFEM assembly p={order} (3D diffusion)", blk.n_elements / dt, "elements/s",
         batch=blk.n_elements, ms=round(dt * 1e3, 3),
