@@ -15,6 +15,18 @@ class IterSolverOpts:
     "rhs" (norm of b, the default), "initial" (norm of the initial
     residual), or "none" (absolute).  ``verbosity``: 0 silent, 1 prints a
     summary line per solve, >=2 streams per-iteration residuals.
+
+    ``chunk``: 0 (default) runs the whole solve as ONE device program
+    (fastest: no host sync until convergence).  ``chunk=k`` bounds each
+    device program to k iterations and warm-restarts from the current
+    iterate on the host until ``tol`` or ``max_iters`` — the analog of
+    Belos' outer ``restarts`` (``solve/SolverInterface.hpp:26-37``).  Use it
+    when a single program would run for minutes (e.g. many-thousand-level
+    ILU triangular solves), where execution-time watchdogs can kill the
+    device worker; each chunk boundary costs one host readback and, for CG,
+    drops the conjugate direction (restarted CG — slightly more iterations).
+    Incompatible with ``residual_scaling="initial"`` (each restart would
+    re-normalize to its own initial residual).
     """
 
     tol: float = 1e-10
@@ -22,6 +34,7 @@ class IterSolverOpts:
     restart: int = 50  # GMRES restart length
     verbosity: int = 0
     residual_scaling: str = "rhs"
+    chunk: int = 0  # >0: bound each device program to this many iterations
 
 
 @dataclass(frozen=True)

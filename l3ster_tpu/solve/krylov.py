@@ -118,6 +118,33 @@ def _cached_solve_fn(system, key_extra, build):
     return hit
 
 
+def _chunk_iters(o) -> int:
+    """Per-device-program iteration bound for IterSolverOpts.chunk."""
+    if not o.chunk:
+        return o.max_iters
+    if o.residual_scaling == "initial":
+        raise ValueError(
+            "chunked solves are incompatible with residual_scaling='initial' "
+            "(each restart would re-normalize to its own initial residual)"
+        )
+    return min(int(o.chunk), o.max_iters)
+
+
+def _run_chunked(solve_fn, o, b, x0, args):
+    """Drive a bounded-iteration solve program to convergence with warm
+    host-side restarts (IterSolverOpts.chunk).  The last chunk may overshoot
+    ``max_iters`` by at most ``chunk - 1`` iterations (the bound is per
+    program).  Returns (x, total_iters, res)."""
+    x, it, res = solve_fn(b, x0, *args)
+    if not o.chunk:
+        return x, it, res
+    total = int(it)
+    while total < o.max_iters and float(res) > o.tol and int(it) > 0:
+        x, it, res = solve_fn(b, x, *args)
+        total += int(it)
+    return x, total, res
+
+
 def _col_dots(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Per-column inner products of (..., n_rhs) multivectors -> (n_rhs,).
 
@@ -341,6 +368,7 @@ class CG:
         )
         M_fn, M_consts = _precond_parts(self.precond, system, layout)
         n_oc = len(consts)
+        inner_iters = _chunk_iters(o)
 
         def build():
             @jax.jit
@@ -359,7 +387,7 @@ class CG:
                     )
                 x, it, res = cg_solve(
                     lambda v: fn(v, *oc), b, x0=x0,
-                    precond=lambda r: M_fn(r, *pc), tol=o.tol, max_iters=o.max_iters,
+                    precond=lambda r: M_fn(r, *pc), tol=o.tol, max_iters=inner_iters,
                     residual_scaling=o.residual_scaling, verbosity=o.verbosity,
                 )
                 if layout == "lattice":
@@ -370,12 +398,14 @@ class CG:
 
         solve_fn = _cached_solve_fn(
             system,
-            ("cg", fn, M_fn, n_oc, len(M_consts), o.tol, o.max_iters,
+            ("cg", fn, M_fn, n_oc, len(M_consts), o.tol, inner_iters,
              o.residual_scaling, o.verbosity, layout),
             build,
         )
         b = system.effective_rhs()
-        x, it, res = solve_fn(b, system.solution_vector(), *consts, *M_consts)
+        x, it, res = _run_chunked(
+            solve_fn, o, b, system.solution_vector(), (*consts, *M_consts)
+        )
         system.set_solution_vector(x)
         if o.verbosity >= 1:
             print(f"CG: {int(it)} iterations, relative residual {float(res):.3e}")
@@ -399,6 +429,7 @@ class Gmres:
         )
         M_fn, M_consts = _precond_parts(self.precond, system, layout)
         n_oc = len(consts)
+        inner_iters = _chunk_iters(o)
 
         def build():
             @jax.jit
@@ -413,7 +444,7 @@ class Gmres:
                     )
                 x, it, res = gmres_solve(
                     lambda v: fn(v, *oc), b, x0=x0, precond=lambda r: M_fn(r, *pc),
-                    tol=o.tol, max_iters=o.max_iters, restart=o.restart,
+                    tol=o.tol, max_iters=inner_iters, restart=o.restart,
                     residual_scaling=o.residual_scaling, verbosity=o.verbosity,
                 )
                 if layout == "lattice":
@@ -424,12 +455,14 @@ class Gmres:
 
         solve_fn = _cached_solve_fn(
             system,
-            ("gmres", fn, M_fn, n_oc, len(M_consts), o.tol, o.max_iters,
+            ("gmres", fn, M_fn, n_oc, len(M_consts), o.tol, inner_iters,
              o.restart, o.residual_scaling, o.verbosity, layout),
             build,
         )
         b = system.effective_rhs()
-        x, it, res = solve_fn(b, system.solution_vector(), *consts, *M_consts)
+        x, it, res = _run_chunked(
+            solve_fn, o, b, system.solution_vector(), (*consts, *M_consts)
+        )
         system.set_solution_vector(x)
         if o.verbosity >= 1:
             print(f"GMRES: {int(it)} iterations, relative residual {float(res):.3e}")

@@ -327,3 +327,52 @@ def test_precond_lag_reuses_factors():
     assert new is not entry
     x = np.asarray(system.solution_vector())
     assert np.abs(x - x_exact).max() / np.abs(x_exact).max() < 1e-7
+
+
+def test_chunked_cg_matches_unchunked():
+    """IterSolverOpts.chunk bounds each device program and warm-restarts on
+    the host; the chunked solve must reach the same answer (restarted CG) and
+    report the accumulated iteration count."""
+    system, x_exact = _spd_system()
+    full = lt.CG(lt.IterSolverOpts(tol=1e-12, max_iters=2000), precond=lt.Jacobi())
+    r_full = full.solve(system)
+    x_full = np.asarray(system.solution_vector())
+
+    system.x = jnp.zeros_like(system.x)
+    chunked = lt.CG(
+        lt.IterSolverOpts(tol=1e-12, max_iters=2000, chunk=17), precond=lt.Jacobi()
+    )
+    r_chunk = chunked.solve(system)
+    x_chunk = np.asarray(system.solution_vector())
+    assert np.abs(x_chunk - x_exact).max() / np.abs(x_exact).max() < 1e-9
+    assert np.abs(x_full - x_exact).max() / np.abs(x_exact).max() < 1e-9
+    assert r_chunk.tol <= 1e-12
+    # restarted CG may need a few extra iterations, but not runaway
+    assert r_full.num_iters - 2 <= r_chunk.num_iters <= 3 * r_full.num_iters + 17
+
+
+def test_chunked_gmres_matches_unchunked():
+    system, x_exact = _spd_system()
+    chunked = lt.Gmres(
+        lt.IterSolverOpts(tol=1e-10, max_iters=4000, chunk=25, restart=20),
+        precond=lt.Jacobi(),
+    )
+    r = chunked.solve(system)
+    x = np.asarray(system.solution_vector())
+    assert np.abs(x - x_exact).max() / np.abs(x_exact).max() < 1e-7
+    assert r.tol <= 1e-10
+
+
+def test_chunked_respects_max_iters():
+    """A chunked non-converging solve stops launching chunks at max_iters."""
+    system, _ = _spd_system()
+    s = lt.CG(lt.IterSolverOpts(tol=1e-30, max_iters=40, chunk=16))
+    r = s.solve(system)
+    assert 40 <= r.num_iters <= 48  # last chunk may overshoot by < chunk
+
+
+def test_chunk_rejects_initial_scaling():
+    system, _ = _spd_system()
+    s = lt.CG(lt.IterSolverOpts(chunk=8, residual_scaling="initial"))
+    with pytest.raises(ValueError, match="initial"):
+        s.solve(system)
