@@ -83,11 +83,14 @@ def main() -> None:
         inlet_profile, lt.KernelParams(dimension=2, n_equations=2)
     )
 
-    def run(solver_name: str, matrix_free: bool = False):
+    def run(solver_name: str, matrix_free: bool = False, condense: bool = False):
         params = lt.AlgebraicSystemParams(
             eval_strategy=lt.OperatorEvaluationStrategy.MATRIX_FREE
             if matrix_free
-            else lt.OperatorEvaluationStrategy.GLOBAL_ASSEMBLY
+            else lt.OperatorEvaluationStrategy.GLOBAL_ASSEMBLY,
+            cond_policy=lt.CondensationPolicy.ELEMENT_BOUNDARY
+            if condense
+            else lt.CondensationPolicy.NONE,
         )
         system = lt.make_algebraic_system(mesh, problem, bcs, params, dtype=dtype)
         system.set_dirichlet_bc_values([0.0, 0.0], [BOTTOM, TOP, CYLINDER], [IU, IV])
@@ -99,7 +102,7 @@ def main() -> None:
         # assembled CSR paths cost 41 ms/iter (gather-bound SpMV) and ILU0's
         # 2236-level tri-solve 533 ms/iter (measured 2026-08-19), so chunked
         # outer restarts are required for tunnel safety
-        if solver_name == "klu2":
+        if solver_name.startswith("klu2"):
             solver = lt.Klu2()
         elif solver_name.startswith("cg+ilu0"):
             solver = lt.CG(
@@ -171,6 +174,11 @@ def main() -> None:
         elif w == "mf-cg":
             # matrix-free stepping: batched MXU local apply, no CSR gathers
             run("mf cg+jacobi", matrix_free=True)
+        elif w == "klu2-cond":
+            # the reference's headline config: assembled + ElementBoundary
+            # static condensation (interior dofs Schur-eliminated per
+            # element before the host factorization)
+            run("klu2+condensation", condense=True)
 
 
 if __name__ == "__main__":
