@@ -66,6 +66,7 @@ from .solve.direct import Klu2, Lapack
 from .solve.interface import IterSolveResult, IterSolverOpts
 from .solve.krylov import CG, Gmres
 from .solve.lowordermg import LowOrderMG
+from .solve.pmg import PMultigrid
 from .solve.precond import (
     SGS,
     BlockJacobi,

@@ -1,0 +1,260 @@
+"""Unstructured two-level p-multigrid preconditioner (TPU-native).
+
+The lattice :class:`~l3ster_tpu.solve.lowordermg.LowOrderMG` only runs on
+structured meshes with lex node numbering; unstructured matrix-free systems
+(e.g. the Karman cylinder-in-channel mesh) were previously capped at
+Jacobi/Chebyshev — the reference has the same cap for its matrix-free path
+(its strong preconditioners need the assembled matrix,
+``solve/Ifpack2Preconditioners.hpp:85-192``), and its matrix-BASED answer
+(RILUK) is sequential-latency hostile on TPU (level-scheduled triangular
+solves measured 533 ms/iter at 26k dofs).
+
+:class:`PMultigrid` is the TPU shape of a strong unstructured
+preconditioner: a two-level V-cycle whose
+
+- **fine level** smooths with diagonally-scaled Chebyshev on the system's
+  own matrix-free operator (batched MXU local applies — the fast path CG
+  already uses);
+- **coarse level** is the SAME least-squares kernels rediscretized at Q1 on
+  the corner-vertex mesh (:func:`~l3ster_tpu.mesh.convert_order
+  .extract_q1_mesh`), assembled once per (lagged) epoch, eliminated, and
+  inverted ON HOST into a dense matrix — the coarse solve is then a single
+  (n_c, n_c) @ (n_c, m) matmul per application: MXU food, no triangular
+  solves, no scalar gathers (n_c = n_dofs / p^dim, e.g. 26k -> 3k for the
+  Karman p=3 mesh, a 36 MB f32 operand);
+- **transfers** are geometry-free Q1 interpolation in reference coordinates:
+  every fine GLL node takes a fixed 2^dim-corner weight row (exact for the
+  isoparametric Q1 map), applied as node-row gathers/scatter-adds so the
+  per-apply cost rides the ~1.1 ms / 74k-row TPU gather bound, not scalar
+  traffic.
+
+For transient/nonlinear stepping set ``lag=k`` to freeze the coarse factor
+across k reassemblies (the host dense inverse is the only per-refresh cost).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .lowordermg import _cheb
+
+__all__ = ["PMultigrid"]
+
+
+def _q1_weights(ref: np.ndarray) -> np.ndarray:
+    """(n_nodes, 2^dim) multilinear corner weights at reference coords
+    (corners in vertex/lexicographic order: bit a of corner k = axis a)."""
+    n, dim = ref.shape
+    K = 1 << dim
+    w = np.ones((n, K))
+    for a in range(dim):
+        bits = (np.arange(K) >> a) & 1
+        w1 = np.stack([(1.0 - ref[:, a]) / 2.0, (1.0 + ref[:, a]) / 2.0], axis=1)
+        w *= w1[:, bits]
+    return w
+
+
+def _build_transfers(mesh, remap: np.ndarray):
+    """Per-fine-node prolongation stencil: (nbr, wts) with nbr (n_f, 2^dim)
+    coarse node ids and wts the Q1 corner weights, taken from the first
+    volume element containing each node (conforming Q1 interp is single-
+    valued on shared faces, so the choice of owner is immaterial)."""
+    from ..mesh.traits import corner_lattice_indices, reference_node_coords
+
+    dim = mesh.dim
+    K = 1 << dim
+    nbr = np.zeros((mesh.n_nodes, K), dtype=np.int64)
+    wts = np.zeros((mesh.n_nodes, K))
+    seen = np.zeros(mesh.n_nodes, dtype=bool)
+    for did, blk in mesh.blocks():
+        if blk.dim != dim or did in mesh.boundary_ids:
+            continue
+        ref = reference_node_coords(blk.element_type, blk.order)
+        w = _q1_weights(ref)  # (n_nodes_el, K)
+        cids = remap[blk.nodes[:, corner_lattice_indices(blk.element_type, blk.order)]]
+        flat = blk.nodes.reshape(-1)
+        uniq, first = np.unique(flat, return_index=True)
+        fresh = ~seen[uniq]
+        uniq, first = uniq[fresh], first[fresh]
+        e, n = np.divmod(first, blk.nodes.shape[1])
+        nbr[uniq] = cids[e]
+        wts[uniq] = w[n]
+        seen[uniq] = True
+    if not seen.all():
+        raise ValueError(
+            "PMultigrid: some mesh nodes appear in no volume element "
+            f"({int((~seen).sum())} uncovered)"
+        )
+    return nbr, wts
+
+
+def _restricted_field_access(fa, fine_ids: np.ndarray):
+    from ..post.solution import FieldAccess
+
+    return FieldAccess(values=fa.values[jnp.asarray(fine_ids)], slots=fa.slots)
+
+
+def _coarse_dense_inv(system, mesh1, fine_ids: np.ndarray, max_dofs: int):
+    """Assemble the fine system's operator kernels at Q1 on the extracted
+    mesh, eliminate, and invert on host (f64) — the coarse level."""
+    import l3ster_tpu as lt
+
+    from ..common.enums import OperatorEvaluationStrategy
+    from ..common.problem import AlgebraicSystemParams
+
+    params = AlgebraicSystemParams(
+        eval_strategy=OperatorEvaluationStrategy.GLOBAL_ASSEMBLY, n_rhs=1
+    )
+    s1 = lt.make_algebraic_system(mesh1, system.problem, system.bc_def, params, dtype=jnp.float64)
+    if s1.n_dofs > max_dofs:
+        raise ValueError(
+            f"PMultigrid coarse level has {s1.n_dofs} dofs > coarse_max_dofs="
+            f"{max_dofs}; the dense inverse would need "
+            f"{s1.n_dofs * s1.n_dofs * 4 / 2**20:.0f} MB — raise coarse_max_dofs "
+            "or use a finer-grained preconditioner"
+        )
+    s1.begin_assembly()
+    for c in system._contribs:
+        if c.mode == "rhs":
+            continue
+        fa = c.field_access[0] if c.field_access is not None else None
+        if fa is not None:
+            fa = _restricted_field_access(fa, fine_ids)
+        rid = c.boundary_id if c.boundary_id is not None else c.domain_id
+        s1.assemble_problem(
+            c.kernel, [rid], field_access=fa, dof_inds=c.dof_inds,
+            time=c.time, mode="operator",
+        )
+    s1.end_assembly()
+    data, indices, indptr, n = s1.eliminated_csr()
+    dense = np.zeros((n, n))
+    rows = np.repeat(np.arange(n), np.diff(np.asarray(indptr)))
+    dense[rows, np.asarray(indices)] = np.asarray(data)
+    return np.linalg.inv(dense), s1.n_dofs
+
+
+@dataclass(frozen=True)
+class PMultigrid:
+    """Unstructured p->1 two-level V-cycle preconditioner (see module doc).
+
+    ``smooth_degree`` is the Chebyshev post-smoothing degree; ``pre_degree``
+    the pre-smoothing degree (None -> symmetric V(k,k)).  WARNING: unlike
+    the lattice LowOrderMG (whose level-0 coarsening is mild), ``pre_degree=0``
+    makes M nonsymmetric across a genuinely coarse correction and CG was
+    MEASURED to diverge with it on the cylinder mesh (2026-08-19) — keep
+    V(k,k) for CG; V(0,k) only with GMRES.  ``lag=k`` freezes the coarse
+    inverse across up to k reassemblies (transient stepping).
+    """
+
+    smooth_degree: int = 2
+    pre_degree: int | None = None
+    cycles: int = 1
+    lag: int = 0
+    coarse_max_dofs: int = 12000
+    eig_ratio: float = 8.0
+
+    def setup(self, system):
+        apply, pc = self.setup_parts(system)
+        return lambda r: apply(r, *pc)
+
+    def setup_parts(self, system, layout: str = "dof"):
+        if layout != "dof":
+            raise ValueError("PMultigrid runs on dof-major vectors (unstructured meshes)")
+        from ..mesh.convert_order import extract_q1_mesh
+
+        mesh = system.mesh
+        dtype = system.dtype
+        n_nodes = mesh.n_nodes
+        n_unk = system.n_dofs // n_nodes
+        if n_unk * n_nodes != system.n_dofs:
+            raise ValueError("PMultigrid requires uniform dofs per node")
+
+        mesh1, fine_ids = extract_q1_mesh(mesh)
+        remap = np.full(n_nodes, -1, dtype=np.int64)
+        remap[fine_ids] = np.arange(len(fine_ids), dtype=np.int64)
+        nbr_np, wts_np = _build_transfers(mesh, remap)
+        Binv_np, n_cdofs = _coarse_dense_inv(system, mesh1, fine_ids, self.coarse_max_dofs)
+        n_cnodes = len(fine_ids)
+        if n_cdofs != n_cnodes * n_unk:
+            raise ValueError("PMultigrid requires uniform dofs per node on the coarse mesh")
+
+        fn, oc = system.operator_parts()
+        d = system.diagonal()
+        dinv = jnp.where(jnp.abs(d) > 1e-14, 1.0 / d, 1.0)
+        # lambda_max of D^-1 A by power iteration (setup-time, on device)
+        v = jax.random.normal(jax.random.PRNGKey(0), (system.n_dofs, 1), dtype=dtype)
+
+        @jax.jit
+        def power(v, dinv, *ocs):
+            def step(_, v):
+                w = dinv[:, None] * fn(v, *ocs)
+                return w / jnp.linalg.norm(w)
+
+            v = jax.lax.fori_loop(0, 15, step, v)
+            w = dinv[:, None] * fn(v, *ocs)
+            return jnp.vdot(v, w) / jnp.vdot(v, v)
+
+        lam_max = float(power(v, dinv, *oc)) * 1.05
+
+        consts = (
+            *oc,
+            dinv,
+            system.free_mask,
+            jnp.asarray(nbr_np, jnp.int32),
+            jnp.asarray(wts_np, dtype),
+            jnp.asarray(Binv_np, dtype),
+        )
+        n_oc = len(oc)
+        pre_degree = self.pre_degree if self.pre_degree is not None else self.smooth_degree
+        smooth_degree = self.smooth_degree
+        cycles = self.cycles
+        eig_ratio = self.eig_ratio
+
+        def restrict(rf, nbr, wts):
+            # rf (n_fdofs, m) node-major -> coarse via the transposed stencil
+            m = rf.shape[1]
+            r3 = rf.reshape(n_nodes, n_unk, m)
+            contrib = wts[:, :, None, None] * r3[:, None, :, :]  # (n_f, K, u, m)
+            out = jnp.zeros((n_cnodes, n_unk, m), rf.dtype).at[nbr].add(contrib)
+            return out.reshape(n_cnodes * n_unk, m)
+
+        def prolong(zc, nbr, wts):
+            m = zc.shape[1]
+            z3 = zc.reshape(n_cnodes, n_unk, m)
+            g = z3[nbr]  # (n_f, K, u, m) node-row gathers
+            out = jnp.einsum("fk,fkum->fum", wts, g)
+            return out.reshape(n_nodes * n_unk, m)
+
+        def apply(r, *cs):
+            ocs = cs[:n_oc]
+            dinv = cs[n_oc]
+            free = cs[n_oc + 1]
+            nbr = cs[n_oc + 2]
+            wts = cs[n_oc + 3]
+            Binv = cs[n_oc + 4]
+
+            def vcycle(r_l):
+                if pre_degree > 0:
+                    z = _cheb(
+                        fn, r_l, jnp.zeros_like(r_l), dinv, lam_max, ocs,
+                        pre_degree, eig_ratio, z0_zero=True,
+                    )
+                    rc = r_l - fn(z, *ocs)
+                else:
+                    z = jnp.zeros_like(r_l)
+                    rc = r_l
+                rcc = restrict(rc * free[:, None], nbr, wts)
+                zc = Binv @ rcc
+                z = z + prolong(zc, nbr, wts) * free[:, None]
+                return _cheb(fn, r_l, z, dinv, lam_max, ocs, smooth_degree, eig_ratio)
+
+            z = vcycle(r)
+            for _ in range(cycles - 1):
+                z = z + vcycle(r - fn(z, *ocs))
+            return z
+
+        return apply, consts

@@ -1,0 +1,179 @@
+"""Unstructured p-multigrid preconditioner (solve/pmg.py).
+
+Validates on the cylinder-in-channel mesh — the geometry the lattice
+LowOrderMG cannot handle — that PMultigrid (Q1 rediscretized coarse level +
+Chebyshev fine smoothing) cuts CG iterations by a large factor while
+reproducing the Jacobi/direct solutions.  Reference analog: none (Ifpack2's
+strong preconditioners need the assembled matrix and are sequential-latency
+hostile on TPU; this is the matrix-free TPU-native answer).
+"""
+
+import numpy as np
+import pytest
+
+import l3ster_tpu as lt
+from l3ster_tpu.models.kernels import navier_stokes_outlet_bc, navier_stokes_uvop_2d
+
+DOMAIN, BOTTOM, TOP, INLET, OUTLET, CYLINDER = 0, 1, 2, 3, 4, 5
+
+
+def _cyl_mesh(order):
+    mesh = lt.make_cylinder_in_channel_2d(
+        left_offset=4.0, right_offset=6.0, bottom_offset=3.0, top_offset=3.0,
+        n_circumf=16, n_radial=4, n_left=3, n_right=6, n_bottom=2, n_top=2,
+        q_radial=1.3, q_right=1.1,
+    )
+    return lt.generate_mesh(mesh, order=order)
+
+
+def test_pmg_transfer_exactness():
+    """Q1 prolongation reproduces globally-linear fields exactly (the
+    isoparametric Q1 map takes corner values of a linear function to its
+    value at every GLL node)."""
+    import jax.numpy as jnp
+
+    from l3ster_tpu.mesh.convert_order import extract_q1_mesh
+    from l3ster_tpu.solve.pmg import _build_transfers
+
+    mesh = _cyl_mesh(order=3)
+    mesh1, fine_ids = extract_q1_mesh(mesh)
+    remap = np.full(mesh.n_nodes, -1, dtype=np.int64)
+    remap[fine_ids] = np.arange(len(fine_ids))
+    nbr, wts = _build_transfers(mesh, remap)
+    assert np.allclose(wts.sum(axis=1), 1.0)  # partition of unity
+
+    lin = lambda c: 2.0 + 3.0 * c[:, 0] - 0.5 * c[:, 1]
+    coarse_vals = lin(np.asarray(mesh1.node_coords))
+    fine_vals = (wts * coarse_vals[nbr]).sum(axis=1)
+    assert np.abs(fine_vals - lin(np.asarray(mesh.node_coords))).max() < 1e-12
+
+
+def _diffusion_kernel_2d(inp, out):
+    ops, rhs = out
+    A0, Ax, Ay = ops
+    Ax[0, 1] = -1.0
+    Ay[0, 2] = -1.0
+    A0[1, 1] = -1.0
+    Ax[1, 0] = 1.0
+    A0[2, 2] = -1.0
+    Ay[2, 0] = 1.0
+    Ax[3, 2] = 1.0
+    Ay[3, 1] = -1.0
+
+
+def _adiabatic_bc(inp, out):
+    ops, _ = out
+    ops[0][0, 1] = inp.normal[0]
+    ops[0][0, 2] = inp.normal[1]
+
+
+def _build_diffusion(mesh):
+    problem = lt.ProblemDefinition(3, [DOMAIN])
+    bcs = lt.BCDefinition(problem)
+    bcs.define_dirichlet([INLET, OUTLET, CYLINDER], [0])
+    system = lt.make_algebraic_system(
+        mesh, problem, bcs,
+        lt.AlgebraicSystemParams(eval_strategy=lt.OperatorEvaluationStrategy.MATRIX_FREE),
+    )
+    diffusion = lt.wrap_domain_equation_kernel(
+        _diffusion_kernel_2d, lt.KernelParams(dimension=2, n_equations=4, n_unknowns=3)
+    )
+    neumann = lt.wrap_boundary_equation_kernel(
+        _adiabatic_bc, lt.KernelParams(dimension=2, n_equations=1, n_unknowns=3)
+    )
+    dirichlet = lt.wrap_boundary_residual_kernel(
+        lambda inp, out: out.__setitem__(0, inp.point.x),
+        lt.KernelParams(dimension=2, n_equations=1),
+    )
+    opts = lt.AssemblyOptions(value_order=1, derivative_order=0)
+    system.set_dirichlet_bc_values(dirichlet, [INLET, OUTLET, CYLINDER], [0])
+    system.begin_assembly()
+    system.assemble_problem(diffusion, [DOMAIN], options=opts)
+    system.assemble_problem(neumann, [BOTTOM, TOP])
+    system.end_assembly()
+    return system
+
+
+def test_pmg_cylinder_diffusion():
+    """Unstructured p=3 diffusion: >=4x fewer CG iterations than Jacobi with
+    the same (exact T = x) answer.  Measured 439 -> 45 (f64 CPU, 2026-08-19)."""
+    mesh = _cyl_mesh(order=3)
+
+    def run(precond):
+        system = _build_diffusion(mesh)
+        res = system.solve(lt.CG(lt.IterSolverOpts(tol=1e-10, max_iters=4000), precond=precond))
+        man = lt.SolutionManager(mesh, 3)
+        system.update_solution([0, 1, 2], man, [0, 1, 2])
+        err = float(np.abs(np.asarray(man.values[:, 0]) - np.asarray(mesh.node_coords[:, 0])).max())
+        return res.num_iters, err
+
+    it_j, err_j = run(lt.Jacobi())
+    it_m, err_m = run(lt.PMultigrid())
+    assert err_j < 1e-7 and err_m < 1e-7
+    assert it_m * 4 <= it_j, (it_m, it_j)
+
+
+def test_pmg_karman_transient_operator():
+    """PMG on the field-coupled NS transient operator (the Karman stepping
+    workload): >=4x fewer iterations than Jacobi, same solution.  Measured
+    263 -> 29 (f64 CPU, 2026-08-19)."""
+    mesh = _cyl_mesh(order=2)
+    H = mesh.node_coords[:, 1].max()
+    nu = 1.0 / 50.0
+    problem = lt.ProblemDefinition(4, [DOMAIN])
+    bcs = lt.BCDefinition(problem)
+    bcs.define_dirichlet([INLET, BOTTOM, TOP, CYLINDER], [0, 1])
+    ks = navier_stokes_uvop_2d(nu)
+    kt = navier_stokes_uvop_2d(nu, dt=0.2)
+    ko = navier_stokes_outlet_bc(nu)
+    opts = lt.AssemblyOptions(value_order=1, derivative_order=1)
+
+    def prof(i, o):
+        y = i.point.y
+        o[0] = 1.5 * (1.0 - (y / H) ** 2)
+        o[1] = 0.0
+
+    ki = lt.wrap_boundary_residual_kernel(prof, lt.KernelParams(dimension=2, n_equations=2))
+
+    def make(strategy):
+        system = lt.make_algebraic_system(
+            mesh, problem, bcs, lt.AlgebraicSystemParams(eval_strategy=strategy)
+        )
+        system.set_dirichlet_bc_values([0.0, 0.0], [BOTTOM, TOP, CYLINDER], [0, 1])
+        system.set_dirichlet_bc_values(ki, [INLET], [0, 1])
+        return system
+
+    man = lt.SolutionManager(mesh, 6)
+    vel1, vel2 = [0, 1], [2, 3]
+    system = make(lt.OperatorEvaluationStrategy.GLOBAL_ASSEMBLY)
+    system.begin_assembly()
+    system.assemble_problem(ks, [DOMAIN], man.field_access(vel1), options=opts)
+    system.assemble_problem(ko, [OUTLET], dof_inds=(0, 1, 3))
+    system.end_assembly()
+    system.solve(lt.Klu2())
+    system.update_solution([0, 1], man, vel1)
+    system.update_solution([0, 1, 2, 3], man, vel2 + [4, 5])
+
+    sols, iters = {}, {}
+    for name, precond in [("jacobi", lt.Jacobi()), ("pmg", lt.PMultigrid())]:
+        mf = make(lt.OperatorEvaluationStrategy.MATRIX_FREE)
+        mf.begin_assembly()
+        mf.assemble_problem(kt, [DOMAIN], man.field_access(vel1 + vel2), options=opts)
+        mf.assemble_problem(ko, [OUTLET], dof_inds=(0, 1, 3))
+        mf.end_assembly()
+        res = mf.solve(lt.CG(lt.IterSolverOpts(tol=1e-8, max_iters=8000), precond=precond))
+        m2 = lt.SolutionManager(mesh, 4)
+        mf.update_solution([0, 1, 2, 3], m2, [0, 1, 2, 3])
+        sols[name] = np.asarray(m2.values)
+        iters[name] = res.num_iters
+    assert iters["pmg"] * 4 <= iters["jacobi"], iters
+    assert np.abs(sols["jacobi"] - sols["pmg"]).max() < 1e-5
+
+
+def test_pmg_rejects_oversized_coarse():
+    mesh = _cyl_mesh(order=3)
+    system = _build_diffusion(mesh)
+    with pytest.raises(ValueError, match="coarse_max_dofs"):
+        system.solve(
+            lt.CG(lt.IterSolverOpts(tol=1e-10, max_iters=10), precond=lt.PMultigrid(coarse_max_dofs=10))
+        )
