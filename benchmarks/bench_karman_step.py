@@ -109,13 +109,31 @@ def main() -> None:
                 lt.IterSolverOpts(tol=tol, max_iters=300, chunk=64),
                 precond=lt.ILU0(lag=lag),
             )
+        elif "pmg" in solver_name:
+            # unstructured p->1 multigrid: ~6 fine applies + one coarse MXU
+            # matmul per iteration (~21 ms) -> chunk=256 keeps one device
+            # program ~5 s, well under the tunnel's ~60 s kill
+            solver = lt.CG(
+                lt.IterSolverOpts(tol=tol, max_iters=2000, chunk=256),
+                precond=lt.PMultigrid(lag=lag),
+            )
         else:
             solver = lt.CG(
                 lt.IterSolverOpts(tol=tol, max_iters=4000, chunk=1024),
                 precond=lt.Jacobi(),
             )
 
-        # steady Picard warm start (2 sweeps suffice for a timing run)
+        # steady Picard warm start (2 sweeps suffice for a timing run).
+        # The lagged PMG must NOT be used here: its frozen coarse factor
+        # would carry the STEADY operator (no dt mass term) into the first
+        # transient solves and misprecondition them (measured: 2048-iter cap
+        # vs 113 after refresh, 2026-08-19) — warm up with Jacobi so the
+        # first PMG setup sees the transient operator.
+        warm_solver = (
+            lt.CG(lt.IterSolverOpts(tol=tol, max_iters=4000, chunk=1024), precond=lt.Jacobi())
+            if "pmg" in solver_name
+            else solver
+        )
         for _ in range(2):
             system.begin_assembly()
             system.assemble_problem(
@@ -123,7 +141,7 @@ def main() -> None:
             )
             system.assemble_problem(k_outlet, [OUTLET], dof_inds=outlet_dofs)
             system.end_assembly()
-            system.solve(solver)
+            system.solve(warm_solver)
             system.update_solution([IU, IV], manager, vel1)
         system.update_solution([IU, IV, IO, IP], manager, vel2 + vort + pres)
 
@@ -174,6 +192,11 @@ def main() -> None:
         elif w == "mf-cg":
             # matrix-free stepping: batched MXU local apply, no CSR gathers
             run("mf cg+jacobi", matrix_free=True)
+        elif w == "mf-cg-pmg":
+            # matrix-free stepping + unstructured p-multigrid (solve/pmg.py):
+            # the strong-preconditioner path the assembled ILU0 cannot give
+            # on TPU (level-scheduled tri-solves are sequential-latency bound)
+            run(f"mf cg+pmg(lag={lag})", matrix_free=True)
         elif w == "klu2-cond":
             # the reference's headline config: assembled + ElementBoundary
             # static condensation (interior dofs Schur-eliminated per

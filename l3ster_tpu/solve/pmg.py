@@ -98,9 +98,7 @@ def _restricted_field_access(fa, fine_ids: np.ndarray):
     return FieldAccess(values=fa.values[jnp.asarray(fine_ids)], slots=fa.slots)
 
 
-def _coarse_dense_inv(system, mesh1, fine_ids: np.ndarray, max_dofs: int):
-    """Assemble the fine system's operator kernels at Q1 on the extracted
-    mesh, eliminate, and invert on host (f64) — the coarse level."""
+def _make_coarse_system(system, mesh1, max_dofs: int):
     import l3ster_tpu as lt
 
     from ..common.enums import OperatorEvaluationStrategy
@@ -109,7 +107,10 @@ def _coarse_dense_inv(system, mesh1, fine_ids: np.ndarray, max_dofs: int):
     params = AlgebraicSystemParams(
         eval_strategy=OperatorEvaluationStrategy.GLOBAL_ASSEMBLY, n_rhs=1
     )
-    s1 = lt.make_algebraic_system(mesh1, system.problem, system.bc_def, params, dtype=jnp.float64)
+    # coarse assembly in the system dtype (f64 needs x64, unavailable on TPU);
+    # the dense inversion below always runs in host f64
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else system.dtype
+    s1 = lt.make_algebraic_system(mesh1, system.problem, system.bc_def, params, dtype=dtype)
     if s1.n_dofs > max_dofs:
         raise ValueError(
             f"PMultigrid coarse level has {s1.n_dofs} dofs > coarse_max_dofs="
@@ -117,6 +118,13 @@ def _coarse_dense_inv(system, mesh1, fine_ids: np.ndarray, max_dofs: int):
             f"{s1.n_dofs * s1.n_dofs * 4 / 2**20:.0f} MB — raise coarse_max_dofs "
             "or use a finer-grained preconditioner"
         )
+    return s1
+
+
+def _coarse_dense_inv(system, s1, fine_ids: np.ndarray):
+    """(Re-)assemble the fine system's operator kernels at Q1 on the
+    extracted mesh, eliminate, and invert on host (f64) — the coarse level.
+    ``s1`` is reused across refreshes so its assembly programs stay compiled."""
     s1.begin_assembly()
     for c in system._contribs:
         if c.mode == "rhs":
@@ -133,8 +141,8 @@ def _coarse_dense_inv(system, mesh1, fine_ids: np.ndarray, max_dofs: int):
     data, indices, indptr, n = s1.eliminated_csr()
     dense = np.zeros((n, n))
     rows = np.repeat(np.arange(n), np.diff(np.asarray(indptr)))
-    dense[rows, np.asarray(indices)] = np.asarray(data)
-    return np.linalg.inv(dense), s1.n_dofs
+    dense[rows, np.asarray(indices)] = np.asarray(data, np.float64)
+    return np.linalg.inv(dense)
 
 
 @dataclass(frozen=True)
@@ -146,8 +154,13 @@ class PMultigrid:
     the lattice LowOrderMG (whose level-0 coarsening is mild), ``pre_degree=0``
     makes M nonsymmetric across a genuinely coarse correction and CG was
     MEASURED to diverge with it on the cylinder mesh (2026-08-19) — keep
-    V(k,k) for CG; V(0,k) only with GMRES.  ``lag=k`` freezes the coarse
-    inverse across up to k reassemblies (transient stepping).
+    V(k,k) for CG; V(0,k) only with GMRES.  ``lag=k`` freezes the whole
+    refresh (coarse inverse, smoother scaling, lambda_max) across up to k
+    reassemblies (transient stepping).  Freeze only across solves of the
+    SAME operator family: a coarse factor frozen from e.g. a steady Picard
+    operator mispreconditions the transient (mass-term) operator badly
+    (measured 2048-iter cap vs 113 after refresh, 2026-08-19) — warm up
+    with Jacobi, or use a separate PMultigrid instance per operator.
     """
 
     smooth_degree: int = 2
@@ -162,8 +175,42 @@ class PMultigrid:
         return lambda r: apply(r, *pc)
 
     def setup_parts(self, system, layout: str = "dof"):
+        """Refresh-stable parts: the ``apply`` closure (and the jitted power
+        iteration) are cached on the system keyed by (self, operator-fn
+        identity), so lagged refreshes in transient stepping return the SAME
+        fn object with new consts — the solver's jitted program then hits the
+        jax trace cache instead of re-tracing the whole V-cycle each refresh
+        (the operator fn itself is structurally cached across reassemblies,
+        see ``MatrixFreeSystem.operator_parts``).  All refreshed values —
+        operator tensors, D^-1, lambda_max, the coarse dense inverse — ride
+        in consts."""
         if layout != "dof":
             raise ValueError("PMultigrid runs on dof-major vectors (unstructured meshes)")
+        fn, oc = system.operator_parts()
+        cache = getattr(system, "_pmg_static_cache", None)
+        if cache is None:
+            cache = system._pmg_static_cache = {}
+        st = cache.get(self)
+        if st is None or st["fn"] is not fn or st["n_oc"] != len(oc):
+            st = cache[self] = self._build_static(system, fn, len(oc))
+
+        # per-refresh values (everything the operator's current values touch)
+        dtype = system.dtype
+        Binv_np = _coarse_dense_inv(system, st["s1"], st["fine_ids"])
+        d = system.diagonal()
+        dinv = jnp.where(jnp.abs(d) > 1e-14, 1.0 / d, 1.0)
+        lam_max = float(st["power"](dinv, *oc)) * 1.05
+        consts = (
+            *oc,
+            dinv,
+            system.free_mask,
+            jnp.asarray(lam_max, dtype),
+            st["nbr"],
+            jnp.asarray(Binv_np, dtype),
+        )
+        return st["apply"], consts
+
+    def _build_static(self, system, fn, n_oc: int):
         from ..mesh.convert_order import extract_q1_mesh
 
         mesh = system.mesh
@@ -177,44 +224,32 @@ class PMultigrid:
         remap = np.full(n_nodes, -1, dtype=np.int64)
         remap[fine_ids] = np.arange(len(fine_ids), dtype=np.int64)
         nbr_np, wts_np = _build_transfers(mesh, remap)
-        Binv_np, n_cdofs = _coarse_dense_inv(system, mesh1, fine_ids, self.coarse_max_dofs)
+        s1 = _make_coarse_system(system, mesh1, self.coarse_max_dofs)
         n_cnodes = len(fine_ids)
-        if n_cdofs != n_cnodes * n_unk:
+        if s1.n_dofs != n_cnodes * n_unk:
             raise ValueError("PMultigrid requires uniform dofs per node on the coarse mesh")
 
-        fn, oc = system.operator_parts()
-        d = system.diagonal()
-        dinv = jnp.where(jnp.abs(d) > 1e-14, 1.0 / d, 1.0)
-        # lambda_max of D^-1 A by power iteration (setup-time, on device)
-        v = jax.random.normal(jax.random.PRNGKey(0), (system.n_dofs, 1), dtype=dtype)
+        # lambda_max of D^-1 A by power iteration (refresh-time, on device)
+        v0 = jax.random.normal(jax.random.PRNGKey(0), (system.n_dofs, 1), dtype=dtype)
 
         @jax.jit
-        def power(v, dinv, *ocs):
+        def power(dinv, *ocs):
             def step(_, v):
                 w = dinv[:, None] * fn(v, *ocs)
                 return w / jnp.linalg.norm(w)
 
-            v = jax.lax.fori_loop(0, 15, step, v)
+            v = jax.lax.fori_loop(0, 15, step, v0)
             w = dinv[:, None] * fn(v, *ocs)
             return jnp.vdot(v, w) / jnp.vdot(v, v)
 
-        lam_max = float(power(v, dinv, *oc)) * 1.05
-
-        consts = (
-            *oc,
-            dinv,
-            system.free_mask,
-            jnp.asarray(nbr_np, jnp.int32),
-            jnp.asarray(wts_np, dtype),
-            jnp.asarray(Binv_np, dtype),
-        )
-        n_oc = len(oc)
+        nbr = jnp.asarray(nbr_np, jnp.int32)
+        wts = jnp.asarray(wts_np, dtype)  # static Q1 stencil: baked, not a const
         pre_degree = self.pre_degree if self.pre_degree is not None else self.smooth_degree
         smooth_degree = self.smooth_degree
         cycles = self.cycles
         eig_ratio = self.eig_ratio
 
-        def restrict(rf, nbr, wts):
+        def restrict(rf, nbr):
             # rf (n_fdofs, m) node-major -> coarse via the transposed stencil
             m = rf.shape[1]
             r3 = rf.reshape(n_nodes, n_unk, m)
@@ -222,7 +257,7 @@ class PMultigrid:
             out = jnp.zeros((n_cnodes, n_unk, m), rf.dtype).at[nbr].add(contrib)
             return out.reshape(n_cnodes * n_unk, m)
 
-        def prolong(zc, nbr, wts):
+        def prolong(zc, nbr):
             m = zc.shape[1]
             z3 = zc.reshape(n_cnodes, n_unk, m)
             g = z3[nbr]  # (n_f, K, u, m) node-row gathers
@@ -233,8 +268,8 @@ class PMultigrid:
             ocs = cs[:n_oc]
             dinv = cs[n_oc]
             free = cs[n_oc + 1]
-            nbr = cs[n_oc + 2]
-            wts = cs[n_oc + 3]
+            lam_max = cs[n_oc + 2]
+            nbr = cs[n_oc + 3]
             Binv = cs[n_oc + 4]
 
             def vcycle(r_l):
@@ -247,9 +282,9 @@ class PMultigrid:
                 else:
                     z = jnp.zeros_like(r_l)
                     rc = r_l
-                rcc = restrict(rc * free[:, None], nbr, wts)
+                rcc = restrict(rc * free[:, None], nbr)
                 zc = Binv @ rcc
-                z = z + prolong(zc, nbr, wts) * free[:, None]
+                z = z + prolong(zc, nbr) * free[:, None]
                 return _cheb(fn, r_l, z, dinv, lam_max, ocs, smooth_degree, eig_ratio)
 
             z = vcycle(r)
@@ -257,4 +292,7 @@ class PMultigrid:
                 z = z + vcycle(r - fn(z, *ocs))
             return z
 
-        return apply, consts
+        return dict(
+            fn=fn, n_oc=n_oc, apply=apply, power=power, s1=s1,
+            fine_ids=fine_ids, nbr=nbr,
+        )

@@ -170,6 +170,32 @@ def test_pmg_karman_transient_operator():
     assert np.abs(sols["jacobi"] - sols["pmg"]).max() < 1e-5
 
 
+def test_pmg_refresh_stable_apply():
+    """Transient-stepping contract: after a reassembly (epoch bump), a fresh
+    setup_parts returns the SAME apply closure with new consts — so jitted
+    solve programs hit the trace cache instead of re-tracing the V-cycle."""
+    mesh = _cyl_mesh(order=2)
+    system = _build_diffusion(mesh)
+    pmg = lt.PMultigrid()
+    a1, c1 = pmg.setup_parts(system)
+    # reassemble (same kernels: the structurally-cached operator fn survives)
+    diffusion = lt.wrap_domain_equation_kernel(
+        _diffusion_kernel_2d, lt.KernelParams(dimension=2, n_equations=4, n_unknowns=3)
+    )
+    neumann = lt.wrap_boundary_equation_kernel(
+        _adiabatic_bc, lt.KernelParams(dimension=2, n_equations=1, n_unknowns=3)
+    )
+    system.begin_assembly()
+    system.assemble_problem(
+        diffusion, [DOMAIN], options=lt.AssemblyOptions(value_order=1, derivative_order=0)
+    )
+    system.assemble_problem(neumann, [BOTTOM, TOP])
+    system.end_assembly()
+    a2, c2 = pmg.setup_parts(system)
+    assert a1 is a2
+    assert len(c1) == len(c2)
+
+
 def test_pmg_rejects_oversized_coarse():
     mesh = _cyl_mesh(order=3)
     system = _build_diffusion(mesh)
