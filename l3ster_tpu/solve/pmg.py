@@ -142,7 +142,12 @@ def _coarse_dense_inv(system, s1, fine_ids: np.ndarray):
     dense = np.zeros((n, n))
     rows = np.repeat(np.arange(n), np.diff(np.asarray(indptr)))
     dense[rows, np.asarray(indices)] = np.asarray(data, np.float64)
-    return np.linalg.inv(dense)
+    try:  # torch's LAPACK build inverts ~3x faster than numpy's on this class
+        import torch
+
+        return torch.linalg.inv(torch.from_numpy(dense)).numpy()
+    except ImportError:  # pragma: no cover
+        return np.linalg.inv(dense)
 
 
 @dataclass(frozen=True)
