@@ -308,6 +308,33 @@ class _SystemBase:
 
     # -- solve-side interface --------------------------------------------------
 
+    def _dev_cached(self, arr: np.ndarray, dtype=None) -> jnp.ndarray:
+        """Content-hash-cached device copy of a host array.
+
+        Transient loops re-create byte-identical numpy vertex/index arrays
+        every step (``assemble_problem`` re-buckets the mesh); re-uploading
+        them through the remote-TPU tunnel costs ~10-100 ms/step.  The hash
+        also feeds ``raw_parts``'s structural signature without reading the
+        device array back.
+        """
+        import hashlib
+
+        a = np.ascontiguousarray(arr)
+        dg = hashlib.sha1(a.tobytes()).digest()
+        key = (dg, a.shape, a.dtype.str, None if dtype is None else jnp.dtype(dtype).name)
+        cache = getattr(self, "_dev_arr_cache", None)
+        if cache is None:
+            cache = self._dev_arr_cache = {}
+            self._dev_id2dg = {}
+        hit = cache.get(key)
+        if hit is None:
+            if len(cache) > 128:
+                cache.clear()
+                self._dev_id2dg.clear()
+            hit = cache[key] = jnp.asarray(a, dtype) if dtype is not None else jnp.asarray(a)
+            self._dev_id2dg[id(hit)] = dg
+        return hit
+
     def dirichlet_extension(self) -> jnp.ndarray:
         """g_ext: zeros with Dirichlet values on Dirichlet dofs; (n_dofs, n_rhs)."""
         g = jnp.zeros((self.n_dofs, self.n_rhs), self.dtype)
@@ -408,10 +435,18 @@ class _SystemBase:
         if self._effective_rhs is None:
             fn, consts = self.raw_parts()
             g = self.dirichlet_extension()
-            free = self.free_mask[:, None]
-            self._effective_rhs = jax.jit(
-                lambda g, rhs, *cs: free * (rhs - fn(g, *cs)) + g
-            )(g, self.rhs, *consts)
+            # the jitted closure is cached per raw-fn IDENTITY: transient
+            # stepping re-assembles every step but keeps the structurally
+            # cached fn, so this dispatches the compiled program instead of
+            # re-TRACING the whole operator graph (measured 1.3-2.2 s/step
+            # host time at the Karman bench, 2026-08-20)
+            cache = getattr(self, "_eff_rhs_fn_cache", None)
+            if cache is None or cache[0] is not fn:
+                jfn = jax.jit(
+                    lambda g, rhs, free, *cs: free[:, None] * (rhs - fn(g, *cs)) + g
+                )
+                cache = self._eff_rhs_fn_cache = (fn, jfn)
+            self._effective_rhs = cache[1](g, self.rhs, self.free_mask, *consts)
         return self._effective_rhs
 
     def solution_vector(self) -> jnp.ndarray:
@@ -449,20 +484,43 @@ class _SystemBase:
         return solver.solve(self)
 
     def update_solution(self, dof_inds, solution_manager, slot_inds, rhs_index: int = 0) -> None:
-        """Copy solution components into SolutionManager slots (nodal layout)."""
-        dof_inds = np.asarray(list(dof_inds), dtype=np.int64)
-        slot_inds = np.asarray(list(slot_inds), dtype=np.int64)
+        """Copy solution components into SolutionManager slots (nodal layout).
+
+        The gather/mask/scatter chain runs as ONE cached jitted program:
+        transient loops call this every step, and an eager chain costs ~6
+        per-op dispatches through the remote-TPU tunnel (~0.1 s/step
+        measured at the Karman bench) vs one dispatch warm.
+        """
+        dof_inds = tuple(int(d) for d in dof_inds)
+        slot_inds = tuple(int(s) for s in slot_inds)
         if len(dof_inds) != len(slot_inds):
             raise ValueError("dof_inds and slot_inds must have equal length")
-        nd = self.dofmap.node_dof[:, dof_inds]  # (n_nodes, k)
-        has = nd >= 0
-        safe = np.where(has, nd, 0)
-        vals = self.x[jnp.asarray(safe), rhs_index]
-        vals = jnp.where(jnp.asarray(has), vals, 0.0)
-        sm_vals = solution_manager.values.at[:, jnp.asarray(slot_inds)].set(
-            vals.astype(solution_manager.dtype)
+        key = (id(self.dofmap.node_dof), dof_inds, slot_inds, int(rhs_index),
+               jnp.dtype(solution_manager.dtype).name)
+        cache = getattr(self, "_upd_sol_cache", None)
+        if cache is None:
+            cache = self._upd_sol_cache = {}
+        hit = cache.get(key)
+        if hit is None:
+            nd = self.dofmap.node_dof[:, list(dof_inds)]  # (n_nodes, k)
+            has = nd >= 0
+            safe = jnp.asarray(np.where(has, nd, 0))
+            has_d = jnp.asarray(has)
+            slots = jnp.asarray(np.asarray(slot_inds, dtype=np.int64))
+            sm_dtype = solution_manager.dtype
+
+            @jax.jit
+            def upd(x, sm_values, safe, has_d, slots):
+                vals = jnp.where(has_d, x[safe, rhs_index], 0.0)
+                return sm_values.at[:, slots].set(vals.astype(sm_dtype))
+
+            if len(cache) > 32:
+                cache.clear()
+            hit = cache[key] = (upd, safe, has_d, slots)
+        upd, safe, has_d, slots = hit
+        solution_manager.values = upd(
+            self.x, solution_manager.values, safe, has_d, slots
         )
-        solution_manager.values = sm_vals
 
     def describe(self) -> str:
         s = (
@@ -970,18 +1028,22 @@ class MatrixFreeSystem(_SystemBase):
         )
 
     def _rhs_args(self, c: _Contribution, sel: slice | None = None):
-        """Per-step traced inputs matching :meth:`_build_rhs_pass`'s layout."""
+        """Per-step traced inputs matching :meth:`_build_rhs_pass`'s layout.
+
+        Device copies are content-hash cached: a transient loop re-creates
+        byte-identical verts/index arrays every step, and re-uploading them
+        through the remote-TPU tunnel dominates warm ``end_assembly``."""
         verts = c.verts if sel is None else c.verts[sel]
         dofs = c.elem_dofs if sel is None else c.elem_dofs[sel]
         args = {
-            "verts": jnp.asarray(verts, self.dtype),
-            "idx": jnp.asarray(dofs.reshape(-1)),
+            "verts": self._dev_cached(verts, self.dtype),
+            "idx": self._dev_cached(dofs.reshape(-1)),
             "time": jnp.asarray(c.time, self.dtype),
         }
         if c.field_access is not None:
             fa, nodes = c.field_access
             args["fvals"] = fa.values
-            args["fnodes"] = jnp.asarray(nodes)
+            args["fnodes"] = self._dev_cached(nodes)
         return args
 
     def _build_rhs_pass(self, contribs):
@@ -1213,6 +1275,25 @@ class MatrixFreeSystem(_SystemBase):
         c._inc_plan = inc
         return inc
 
+    def _op_key(self, c: _Contribution):
+        """Cross-epoch identity of a contribution's operator-data structure.
+
+        Kernels and tables compare by identity (stable across a transient
+        loop's re-registrations); verts content is checked separately by
+        digest, field values are per-step jit arguments.
+        """
+        fa = c.field_access[0] if c.field_access is not None else None
+        # kernel/tables enter by id(); cache entries pin the objects so ids
+        # cannot be recycled into stale hits.  Kernel time is NOT part of the
+        # key: the jitted value pass takes it as a traced argument, and static
+        # entries check it alongside the verts digest.
+        return (
+            id(c.kernel), id(c.tables), c.options, tuple(c.dof_inds), c.mode,
+            c.domain_id, c.boundary_id,
+            tuple(fa.slots) if fa is not None else None,
+            tuple(c.verts.shape),
+        )
+
     def _operator_data(self, c: _Contribution):
         """Precompute x-independent operator tensors for one contribution.
 
@@ -1221,9 +1302,112 @@ class MatrixFreeSystem(_SystemBase):
         once per assembly instead of once per operator apply (the reference
         re-evaluates per apply; our begin/end-assembly state machine makes
         the precompute safe, and time stepping re-registers anyway).
+
+        CROSS-EPOCH CACHING (transient stepping re-registers identical
+        contributions every step): field-free contributions reuse the whole
+        tensor set when the vertex bytes match (zero cost); field-dependent
+        dense/sum-factorized contributions recompute values through ONE
+        structurally-cached jitted pass instead of an eager geometry+kernel
+        op chain (measured ~1.5 s/step of per-op dispatches through the
+        remote-TPU tunnel at the Karman bench, 2026-08-20).
         """
         if getattr(c, "_op_data", None) is not None:
             return c._op_data
+        import hashlib
+
+        cache = getattr(self, "_op_data_cache", None)
+        if cache is None:
+            cache = self._op_data_cache = {}
+        key = self._op_key(c)
+        entry = cache.get(key)
+        if c.field_access is None:
+            digest = (
+                hashlib.sha1(np.ascontiguousarray(c.verts).tobytes()).digest(),
+                float(c.time),
+            )
+            if entry is not None and entry[0] == "static" and entry[1] == digest:
+                c._op_data = entry[2]
+                c._direct_ns = entry[3]
+                return c._op_data
+            data = self._operator_data_impl(c)
+            if len(cache) > 64:
+                cache.clear()
+            cache[key] = (
+                "static", digest, data, getattr(c, "_direct_ns", None),
+                (c.kernel, c.tables),  # pin id() referents
+            )
+            return data
+        if entry is not None and entry[0] == "jit":
+            c._op_data = entry[1](c)
+            c._direct_ns = None
+            return c._op_data
+        builder = self._op_value_builder(c)
+        if builder is None:  # direct / lattice-var paths: value-derived masks
+            return self._operator_data_impl(c)
+        if len(cache) > 64:
+            cache.clear()
+        cache[key] = ("jit", builder, (c.kernel, c.tables))
+        c._op_data = builder(c)
+        c._direct_ns = None
+        return c._op_data
+
+    def _op_value_builder(self, c: _Contribution):
+        """A (contribution -> op_data) recompute closure whose jitted value
+        pass is shared across reassembly epochs, or None for paths whose
+        structure is value-derived (direct-path block dropping, lattice-var
+        nonzero planes)."""
+        if self._use_lattice_sf(c):
+            return None
+        use_dense = self._use_dense(c)
+        use_sf = self._use_sumfact(c) and not use_dense
+        if not (use_dense or use_sf):
+            return None
+        kernel, tables = c.kernel, c.tables
+        dtype, dim = self.dtype, c.tables.dim
+        slots = np.asarray(c.field_access[0].slots, dtype=np.int64)
+
+        @jax.jit
+        def values_at_qp(verts, fvals, fnodes, time):
+            geom = element_geometry(tables, verts, with_phys_ders=True)
+            nodal = fvals[fnodes][:, :, slots].astype(dtype)
+            fv, fd = eval_fields(tables, geom, nodal)
+            A, _ = eval_equation_kernel(kernel, geom, fv, fd, time, dtype)
+            if use_dense:
+                E, Q = geom.weights.shape
+                A_t = jnp.moveaxis(
+                    A.reshape(E * Q, A.shape[2], A.shape[3], A.shape[4]), 0, -1
+                )
+                Ji_t, w_t = _pack_geometry_only(geom, dim)
+                return A_t, Ji_t, w_t
+            from .local import pack_sumfact_operator
+
+            return pack_sumfact_operator(A, geom, dim)
+
+        if use_dense:
+            from ..ops.dense_eval import dense_basis_matrix
+
+            Ball = jnp.asarray(dense_basis_matrix(tables), dtype)
+
+            def build(c2):
+                fa2, nodes2 = c2.field_access
+                A_t, Ji_t, w_t = values_at_qp(
+                    self._dev_cached(c2.verts, dtype), fa2.values,
+                    self._dev_cached(nodes2), jnp.asarray(c2.time, dtype),
+                )
+                return ("dense", A_t, Ji_t, w_t, Ball)
+        else:
+
+            def build(c2):
+                fa2, nodes2 = c2.field_access
+                A_t, Ji_t, w_t = values_at_qp(
+                    self._dev_cached(c2.verts, dtype), fa2.values,
+                    self._dev_cached(nodes2), jnp.asarray(c2.time, dtype),
+                )
+                return ("sumfact", A_t, Ji_t, w_t)
+
+        return build
+
+    def _operator_data_impl(self, c: _Contribution):
         dtype = self.dtype
         use_lat = self._use_lattice_sf(c)
         use_dense = (not use_lat) and self._use_dense(c)
@@ -1428,18 +1612,18 @@ class MatrixFreeSystem(_SystemBase):
                 )
             elif ns is not None:  # restricted node subset (scalar index path)
                 consts.append(
-                    jnp.asarray(c.elem_dofs[:, ns].reshape(c.elem_dofs.shape[0], -1))
+                    self._dev_cached(c.elem_dofs[:, ns].reshape(c.elem_dofs.shape[0], -1))
                 )
                 spec.append(op + (gi, None, False))
             elif lat is not None:
                 spec.append(op + (gi, rows[1], lat))  # slicing plan: no index consts
             elif rows is not None:
-                consts.append(jnp.asarray(rows[0]))  # row_idx (E, n_nodes)
+                consts.append(self._dev_cached(rows[0]))  # row_idx (E, n_nodes)
                 if use_inc:
-                    consts.append(jnp.asarray(self._incidence_plan(c)))  # (n_rows, K)
+                    consts.append(self._dev_cached(self._incidence_plan(c)))  # (n_rows, K)
                 spec.append(op + (gi, rows[1], use_inc))
             else:
-                consts.append(jnp.asarray(c.elem_dofs.reshape(c.elem_dofs.shape[0], -1)))
+                consts.append(self._dev_cached(c.elem_dofs.reshape(c.elem_dofs.shape[0], -1)))
                 spec.append(op + (gi, None, False))
 
         # structural fn cache: a transient loop re-registers the same
@@ -1487,10 +1671,14 @@ class MatrixFreeSystem(_SystemBase):
             else:
                 h.update(np.asarray(static_A).tobytes())
                 sig_items.append("A")
+        id2dg = getattr(self, "_dev_id2dg", {})
         for arr in consts:
             sig_items.append((tuple(arr.shape), str(arr.dtype)))
             if jnp.issubdtype(arr.dtype, jnp.integer):
-                h.update(np.asarray(arr).tobytes())
+                # content-hash-cached device consts carry their digest; only
+                # uncached integer arrays pay a device readback here
+                dg = id2dg.get(id(arr))
+                h.update(dg if dg is not None else np.asarray(arr).tobytes())
         sig = (tuple(sig_items), h.hexdigest())
         # lattice-layout eligibility: every bucket must route through the
         # shared channel-leading tensor accumulator (tacc below) and agree on

@@ -135,14 +135,23 @@ def _run_chunked(solve_fn, o, b, x0, args):
     host-side restarts (IterSolverOpts.chunk).  The last chunk may overshoot
     ``max_iters`` by at most ``chunk - 1`` iterations (the bound is per
     program).  Returns (x, total_iters, res)."""
+    # one batched device_get per chunk: separate int()/float() readbacks cost
+    # a ~29 ms tunnel round trip EACH
+    def _get(it, res):
+        it_h, res_h = jax.device_get((it, res))
+        return int(it_h), float(res_h)
+
     x, it, res = solve_fn(b, x0, *args)
     if not o.chunk:
-        return x, it, res
-    total = int(it)
-    while total < o.max_iters and float(res) > o.tol and int(it) > 0:
+        it_h, res_h = _get(it, res)
+        return x, it_h, res_h
+    it_h, res_h = _get(it, res)
+    total = it_h
+    while total < o.max_iters and res_h > o.tol and it_h > 0:
         x, it, res = solve_fn(b, x, *args)
-        total += int(it)
-    return x, total, res
+        it_h, res_h = _get(it, res)
+        total += it_h
+    return x, total, res_h
 
 
 def _col_dots(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
