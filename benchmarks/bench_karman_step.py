@@ -44,6 +44,11 @@ def main() -> None:
     enable_persistent_cache()
 
     n_steps = int(os.environ.get("KARMAN_STEPS", "6"))
+    # Steps timed AFTER the compile step: the first 2-3 transient steps out of
+    # the Picard steady warm start take 1.5-2.7x the settled iteration count
+    # (measured 08-20: iters [1287, 2092, 773, 780, ...]), so the settled
+    # per-step rate needs a few untimed settling steps first.
+    n_warm = int(os.environ.get("KARMAN_WARM", "3"))
     lag = int(os.environ.get("KARMAN_LAG", "4"))
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.float32 if on_tpu else jnp.float64
@@ -159,6 +164,8 @@ def main() -> None:
             return res
 
         step()  # first transient step compiles the transient-kernel programs
+        for _ in range(n_warm):  # settle into the periodic iteration regime
+            step()
         t0 = time.perf_counter()
         iters = []
         for _ in range(n_steps):
