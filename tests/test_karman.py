@@ -190,3 +190,84 @@ def test_karman_strouhal():
     # the limit cycle must be saturated and roughly symmetric
     tail = v_sig[-60:]
     assert tail.max() > 0.5 and tail.min() < -0.5
+
+
+def test_transient_reassembly_cross_epoch_caching():
+    """Cross-epoch operator-data caching contract (transient stepping).
+
+    Re-registering identical contributions with NEW field values across
+    begin/end-assembly epochs must (a) keep the operator fn identity (the
+    no-retrace contract the solver's jitted-program cache relies on),
+    (b) reuse the structurally-cached jitted value passes for the
+    field-dependent operator data and the rhs/diag accumulation, and
+    (c) produce the same operator action / effective rhs / diagonal as a
+    FRESH system assembled directly with those field values.
+    """
+    import jax.numpy as jnp
+
+    mesh = lt.make_cylinder_in_channel_2d(
+        left_offset=4.0, right_offset=6.0, bottom_offset=3.0, top_offset=3.0,
+        n_circumf=16, n_radial=4, n_left=3, n_right=6, n_bottom=2, n_top=2,
+        q_radial=1.3, q_right=1.1,
+    )
+    mesh = lt.generate_mesh(mesh, order=2)
+    problem = lt.ProblemDefinition(4, [DOMAIN])
+    bcs = lt.BCDefinition(problem)
+    bcs.define_dirichlet([INLET, BOTTOM, TOP, CYLINDER], [0, 1])
+    params = lt.AlgebraicSystemParams(
+        eval_strategy=lt.OperatorEvaluationStrategy.MATRIX_FREE
+    )
+    kt = navier_stokes_uvop_2d(1.0 / 50.0, dt=0.2)
+    ko = navier_stokes_outlet_bc(1.0 / 50.0)
+    opts = lt.AssemblyOptions(value_order=1, derivative_order=1)
+    rng = np.random.default_rng(3)
+    fields = [
+        0.1 * rng.normal(size=(mesh.n_nodes, 4)) for _ in range(2)
+    ]
+
+    def build():
+        s = lt.make_algebraic_system(mesh, problem, bcs, params)
+        s.set_dirichlet_bc_values([0.0, 0.0], [INLET, BOTTOM, TOP, CYLINDER], [0, 1])
+        return s
+
+    def asm(s, man):
+        s.begin_assembly()
+        s.assemble_problem(kt, [DOMAIN], man.field_access([0, 1, 2, 3]), options=opts)
+        s.assemble_problem(ko, [OUTLET], dof_inds=(0, 1, 3))
+        s.end_assembly()
+
+    man = lt.SolutionManager(mesh, 4)
+    s = build()
+    man.values = man.values.at[:, :].set(jnp.asarray(fields[0]))
+    asm(s, man)
+    fn1, c1 = s.operator_parts()
+    _ = s.effective_rhs()
+    end_pass1 = s._end_cache["small"]
+    builders1 = [e[1] for e in s._op_data_cache.values() if e[0] == "jit"]
+    assert builders1, "field-dependent contribution should use the jit builder path"
+
+    # epoch 2: same structure, new field values
+    man.values = man.values.at[:, :].set(jnp.asarray(fields[1]))
+    asm(s, man)
+    fn2, c2 = s.operator_parts()
+    assert fn2 is fn1  # no-retrace contract
+    assert s._end_cache["small"] is end_pass1  # rhs/diag pass reused
+    builders2 = [e[1] for e in s._op_data_cache.values() if e[0] == "jit"]
+    assert [id(b) for b in builders2] == [id(b) for b in builders1]
+
+    # correctness vs a fresh system assembled directly with fields[1]
+    ref = build()
+    man2 = lt.SolutionManager(mesh, 4)
+    man2.values = man2.values.at[:, :].set(jnp.asarray(fields[1]))
+    asm(ref, man2)
+    fn_r, c_r = ref.operator_parts()
+    x = jnp.asarray(rng.normal(size=(s.n_dofs, 1)))
+    y, y_ref = fn2(x, *c2), fn_r(x, *c_r)
+    scale = float(jnp.abs(y_ref).max())
+    assert float(jnp.abs(y - y_ref).max()) < 1e-11 * scale
+    b, b_ref = s.effective_rhs(), ref.effective_rhs()
+    bscale = max(float(jnp.abs(b_ref).max()), 1e-30)
+    assert float(jnp.abs(b - b_ref).max()) < 1e-11 * bscale
+    d, d_ref = s.diagonal(), ref.diagonal()
+    dscale = float(jnp.abs(d_ref).max())
+    assert float(jnp.abs(d - d_ref).max()) < 1e-11 * dscale
