@@ -779,6 +779,63 @@ class AssembledSystem(_SystemBase):
         self.data = jnp.zeros(self.nnz, self.dtype)
         self._cond_aggs = {}
 
+    def _local_kf(self, c: _Contribution):
+        """Local K/F (or rhs-only F) through a structurally-cached jitted
+        pass — the assembled analog of MatrixFreeSystem's cross-epoch
+        caching.  Transient stepping re-registers identical contributions
+        every step; the eager geometry+kernel+contraction chain costs dozens
+        of per-op dispatches through the remote-TPU tunnel per step, while
+        the cached pass is one dispatch (jax.jit re-specializes per element
+        count automatically, so blocks of different sizes share the entry).
+        Keyed by (kernel, tables, field slots, rhs-only) identity; per-step
+        data — verts, field values/nodes, time — travel as arguments."""
+        fa = c.field_access
+        slots = (
+            tuple(int(s) for s in np.asarray(fa[0].slots).tolist())
+            if fa is not None
+            else None
+        )
+        cache = getattr(self, "_kf_cache", None)
+        if cache is None:
+            cache = self._kf_cache = {}
+        # kernel/tables enter by id(); the cache entry pins the objects so
+        # ids cannot be recycled into stale hits (same scheme as _op_key)
+        key = (id(c.kernel), id(c.tables), slots, c.mode == "rhs")
+        hit = cache.get(key)
+        jfn = hit[0] if hit is not None else None
+        if jfn is None:
+            kernel, tables, rhs_only = c.kernel, c.tables, c.mode == "rhs"
+            dtype = self.dtype
+            slots_np = np.asarray(slots, dtype=np.int64) if slots is not None else None
+
+            @jax.jit
+            def jfn(verts, time, fvals, fnodes):
+                geom = element_geometry(tables, verts)
+                fv = fd = None
+                if slots_np is not None:
+                    nodal = fvals[fnodes][:, :, slots_np].astype(dtype)
+                    fv, fd = eval_fields(tables, geom, nodal)
+                if rhs_only:
+                    A, f = eval_equation_kernel(kernel, geom, fv, fd, time, dtype)
+                    B = _basis_stack(tables, geom, dtype)
+                    return local_rhs(A, B, geom.weights, f)
+                return local_system(kernel, tables, geom, fv, fd, time, dtype)
+
+            if len(cache) > 64:
+                cache.clear()
+            cache[key] = (jfn, c.kernel, c.tables)
+        if fa is not None:
+            fvals, fnodes = fa[0].values, self._dev_cached(fa[1])
+        else:
+            fvals = jnp.zeros((0,), self.dtype)
+            fnodes = jnp.zeros((0,), jnp.int32)
+        return jfn(
+            self._dev_cached(c.verts, self.dtype),
+            jnp.asarray(c.time, self.dtype),
+            fvals,
+            fnodes,
+        )
+
     def _end_impl(self) -> None:
         # form the per-element Schur complements and apply them to the global
         # system (``StaticCondensationManager::endAssembly`` analog)
@@ -821,8 +878,7 @@ class AssembledSystem(_SystemBase):
 
     def _add_condensed(self, c: _Contribution) -> None:
         agg = self._get_cond_agg(c)
-        geom, fv, fd = _contribution_geometry(c, self.dtype)
-        K, F = local_system(c.kernel, c.tables, geom, fv, fd, c.time, self.dtype)
+        K, F = self._local_kf(c)
         n_nodes = c.block.nodes.shape[1]
         b_sel, tb, i_sel, ti = _cond_selectors(
             agg.act, agg.b_nodes, agg.i_nodes, n_nodes, c.dof_inds
@@ -892,20 +948,17 @@ class AssembledSystem(_SystemBase):
         ):
             self._add_condensed(c)
             return
-        geom, fv, fd = _contribution_geometry(c, self.dtype)
         if c.mode == "rhs":
-            A, f = eval_equation_kernel(c.kernel, geom, fv, fd, c.time, self.dtype)
-            B = _basis_stack(c.tables, geom, self.dtype)
-            F = local_rhs(A, B, geom.weights, f)
-            self.rhs = self.rhs.at[jnp.asarray(c.elem_dofs.reshape(-1))].add(
+            F = self._local_kf(c)
+            self.rhs = self.rhs.at[self._dev_cached(c.elem_dofs.reshape(-1))].add(
                 F.reshape(-1, self.n_rhs)
             )
             return
-        K, F = local_system(c.kernel, c.tables, geom, fv, fd, c.time, self.dtype)
+        K, F = self._local_kf(c)
         pos = self._scatter_positions(c.elem_dofs)
-        self.data = self.data.at[jnp.asarray(pos.reshape(-1))].add(K.reshape(-1))
+        self.data = self.data.at[self._dev_cached(pos.reshape(-1))].add(K.reshape(-1))
         if c.mode != "operator":
-            self.rhs = self.rhs.at[jnp.asarray(c.elem_dofs.reshape(-1))].add(
+            self.rhs = self.rhs.at[self._dev_cached(c.elem_dofs.reshape(-1))].add(
                 F.reshape(-1, self.n_rhs)
             )
 
