@@ -878,12 +878,20 @@ class AssembledSystem(_SystemBase):
 
     def _add_condensed(self, c: _Contribution) -> None:
         agg = self._get_cond_agg(c)
-        K, F = self._local_kf(c)
+        if c.mode == "rhs":
+            # _local_kf returns only F here, shaped (E, n_nodes, n_unk, n_rhs);
+            # node-major flatten matches local_system's (E, n_loc, n_rhs) layout
+            K = None
+            F = self._local_kf(c)
+            E_c = F.shape[0]
+            F = F.reshape(E_c, -1, self.n_rhs)
+        else:
+            K, F = self._local_kf(c)
+            E_c = K.shape[0]
         n_nodes = c.block.nodes.shape[1]
         b_sel, tb, i_sel, ti = _cond_selectors(
             agg.act, agg.b_nodes, agg.i_nodes, n_nodes, c.dof_inds
         )
-        E_c = K.shape[0]
         rows = c.elem_sel if c.elem_sel is not None else np.arange(E_c)
         rows = np.asarray(rows, dtype=np.int64)
 
