@@ -32,6 +32,7 @@ from ..common.enums import CondensationPolicy, OperatorEvaluationStrategy
 from ..common.problem import AlgebraicSystemParams, AssemblyOptions, BCDefinition, ProblemDefinition
 from ..dofs.dofmap import build_dof_map
 from ..mesh.core import Mesh
+from ..utils.profiling import profile_region
 from .local import (
     _basis_stack,
     domain_tables,
@@ -121,16 +122,18 @@ class _SystemBase:
     # -- assembly state machine (``AssembledSystem.hpp:99-108``) -------------
 
     def begin_assembly(self) -> None:
-        self._open = True
-        self._effective_rhs = None
-        self.rhs = jnp.zeros((self.n_dofs, self.n_rhs), self.dtype)
-        self._begin_impl()
+        with profile_region("assembly/begin"):
+            self._open = True
+            self._effective_rhs = None
+            self.rhs = jnp.zeros((self.n_dofs, self.n_rhs), self.dtype)
+            self._begin_impl()
 
     def end_assembly(self) -> None:
         if not self._open:
             raise RuntimeError("end_assembly without begin_assembly")
         self._open = False
-        self._end_impl()
+        with profile_region("assembly/end"):
+            self._end_impl()
         # operator values changed: preconditioner factors keyed on the old
         # epoch are stale (solver-side setup caching, solve/krylov.py)
         self._assembly_epoch = getattr(self, "_assembly_epoch", 0) + 1
@@ -181,23 +184,26 @@ class _SystemBase:
                 raise ValueError(
                     f"kernel dof indices {dof_inds} not all active on the assembled domains"
                 )
-            self._add_contribution(
-                _Contribution(
-                    kernel=kernel,
-                    tables=tables,
-                    verts=verts,
-                    elem_dofs=elem_dofs,
-                    field_access=(field_access, nodes) if field_access is not None else None,
-                    time=time,
-                    options=options,
-                    block=block,
-                    elem_sel=sel,
-                    mode=mode,
-                    dof_inds=dof_inds,
-                    domain_id=did,
-                    boundary_id=bnd,
+            with profile_region(
+                "assembly/add[boundary]" if kernel.is_boundary else "assembly/add[domain]"
+            ):
+                self._add_contribution(
+                    _Contribution(
+                        kernel=kernel,
+                        tables=tables,
+                        verts=verts,
+                        elem_dofs=elem_dofs,
+                        field_access=(field_access, nodes) if field_access is not None else None,
+                        time=time,
+                        options=options,
+                        block=block,
+                        elem_sel=sel,
+                        mode=mode,
+                        dof_inds=dof_inds,
+                        domain_id=did,
+                        boundary_id=bnd,
+                    )
                 )
-            )
 
     def init_problem(self, kernel, domain_ids, field_access=None, dof_inds=None,
                      options: AssemblyOptions = AssemblyOptions(), time: float = 0.0) -> None:
@@ -446,7 +452,8 @@ class _SystemBase:
                     lambda g, rhs, free, *cs: free[:, None] * (rhs - fn(g, *cs)) + g
                 )
                 cache = self._eff_rhs_fn_cache = (fn, jfn)
-            self._effective_rhs = cache[1](g, self.rhs, self.free_mask, *consts)
+            with profile_region("solve/effective_rhs"):
+                self._effective_rhs = cache[1](g, self.rhs, self.free_mask, *consts)
         return self._effective_rhs
 
     def solution_vector(self) -> jnp.ndarray:
@@ -518,9 +525,10 @@ class _SystemBase:
                 cache.clear()
             hit = cache[key] = (upd, safe, has_d, slots)
         upd, safe, has_d, slots = hit
-        solution_manager.values = upd(
-            self.x, solution_manager.values, safe, has_d, slots
-        )
+        with profile_region("solve/update_solution"):
+            solution_manager.values = upd(
+                self.x, solution_manager.values, safe, has_d, slots
+            )
 
     def describe(self) -> str:
         s = (
@@ -585,18 +593,23 @@ def _constant_kernel_operators(kernel, time: float):
         A, _ = kernel.evaluate(DomainInput(vals, ders, SpaceTimePoint(xyz, t)), probe_dtype)
         return A
 
-    zeros = (
-        jnp.zeros((p.n_fields,), probe_dtype),
-        jnp.zeros((p.dimension, p.n_fields), probe_dtype),
-        jnp.zeros((3,), probe_dtype),
-        jnp.asarray(float(time), probe_dtype),
-    )
-    try:
-        if not _jaxpr_outputs_constant(jax.make_jaxpr(eval_A)(*zeros)):
+    from ..utils.hostmath import host_setup
+
+    # probe on the host CPU backend: the eval + readback is tiny math, but
+    # eagerly through the remote-TPU tunnel it costs dispatches + readbacks
+    with host_setup():
+        zeros = (
+            jnp.zeros((p.n_fields,), probe_dtype),
+            jnp.zeros((p.dimension, p.n_fields), probe_dtype),
+            jnp.zeros((3,), probe_dtype),
+            jnp.asarray(float(time), probe_dtype),
+        )
+        try:
+            if not _jaxpr_outputs_constant(jax.make_jaxpr(eval_A)(*zeros)):
+                return None
+            A = np.asarray(eval_A(*zeros))
+        except Exception:
             return None
-        A = np.asarray(eval_A(*zeros))
-    except Exception:
-        return None
     return A if np.isfinite(A).all() else None
 
 
@@ -829,12 +842,13 @@ class AssembledSystem(_SystemBase):
         else:
             fvals = jnp.zeros((0,), self.dtype)
             fnodes = jnp.zeros((0,), jnp.int32)
-        return jfn(
-            self._dev_cached(c.verts, self.dtype),
-            jnp.asarray(c.time, self.dtype),
-            fvals,
-            fnodes,
-        )
+        with profile_region("assembly/local_kf"):
+            return jfn(
+                self._dev_cached(c.verts, self.dtype),
+                jnp.asarray(c.time, self.dtype),
+                fvals,
+                fnodes,
+            )
 
     def _end_impl(self) -> None:
         # form the per-element Schur complements and apply them to the global
@@ -1389,13 +1403,38 @@ class MatrixFreeSystem(_SystemBase):
             if entry is not None and entry[0] == "static" and entry[1] == digest:
                 c._op_data = entry[2]
                 c._direct_ns = entry[3]
+                if len(entry) > 5:
+                    c._packed_face = entry[5]
                 return c._op_data
-            data = self._operator_data_impl(c)
+            from ..utils.hostmath import host_setup, to_compute
+
+            # x-independent setup math runs on the host CPU backend (eager
+            # chains through the remote-TPU tunnel cost minutes); the
+            # finished tensors ship to the compute device ONCE here, so the
+            # cached op_data is device-resident across epochs
+            with host_setup(), profile_region("operator/setup_data"):
+                data = self._operator_data_impl(c)
+                # face-banded packing consumes the direct tensors as numpy:
+                # do it HERE while they are host-resident (a device readback
+                # through the tunnel costs seconds) and cache the result
+                if data[0] == "direct" and getattr(c, "_direct_ns", None) is not None:
+                    fp0 = self._face_plan(c)
+                    if fp0 is not None:
+                        from ..ops.lattice_sumfact import pack_face_banded
+
+                        c._packed_face = pack_face_banded(
+                            np.asarray(data[1]), np.asarray(data[3]), fp0,
+                            c.tables.order,
+                            c.options.quadrature_order(c.tables.order),
+                        )
+            data = to_compute(data)
+            c._op_data = data
             if len(cache) > 64:
                 cache.clear()
             cache[key] = (
                 "static", digest, data, getattr(c, "_direct_ns", None),
                 (c.kernel, c.tables),  # pin id() referents
+                getattr(c, "_packed_face", None),
             )
             return data
         if entry is not None and entry[0] == "jit":
@@ -1631,23 +1670,33 @@ class MatrixFreeSystem(_SystemBase):
         consts: list = []
         for c in contribs:
             d = self._operator_data(c)
-            packed_face = None
-            if d[0] == "direct" and getattr(c, "_direct_ns", None) is not None:
-                fp0 = self._face_plan(c)
-                if fp0 is not None:
-                    from ..ops.lattice_sumfact import pack_face_banded
+            packed_face = getattr(c, "_packed_face", "unset")
+            if isinstance(packed_face, str):
+                packed_face = None
+                if d[0] == "direct" and getattr(c, "_direct_ns", None) is not None:
+                    fp0 = self._face_plan(c)
+                    if fp0 is not None:
+                        from ..ops.lattice_sumfact import pack_face_banded
 
-                    packed_face = pack_face_banded(
-                        d[1], d[3], fp0, c.tables.order,
-                        c.options.quadrature_order(c.tables.order),
-                    )
+                        packed_face = pack_face_banded(
+                            np.asarray(d[1]), np.asarray(d[3]), fp0, c.tables.order,
+                            c.options.quadrature_order(c.tables.order),
+                        )
+                c._packed_face = packed_face
             if packed_face is not None:
                 # value-only full-lattice side: ONE global banded 2D sweep on
                 # the face plane (the per-element direct path pads each tiny
                 # (Q, n_nodes) tile to the MXU and is latency-bound)
                 A_l, w_l = packed_face
                 op = ("face_banded", len(consts), 2, None)
-                consts.extend([jnp.asarray(A_l, dtype), jnp.asarray(w_l, dtype)])
+                # content-hash-cached device copies: a transient loop rebuilds
+                # byte-identical tables every epoch
+                consts.extend(
+                    [
+                        self._dev_cached(np.asarray(A_l), dtype),
+                        self._dev_cached(np.asarray(w_l), dtype),
+                    ]
+                )
             elif d[0] in (
                 "sumfact_const", "pallas", "dense_const", "lattice_sf_const",
                 "lattice_sf_const_diag", "lattice_sf_var",

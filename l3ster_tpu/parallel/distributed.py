@@ -97,10 +97,14 @@ class DistributedSystem(_SystemBase):
         self.device_mesh = jax.sharding.Mesh(
             np.asarray(devices[: self.n_shards]), ("shards",)
         )
-        self._parts = partition_mesh_elements(
-            mesh, self.n_shards, problem, part_fractions, method=partition_method
-        )
-        self._setup_ownership()
+        from ..utils.profiling import profile_region
+
+        with profile_region("distributed/partition"):
+            self._parts = partition_mesh_elements(
+                mesh, self.n_shards, problem, part_fractions, method=partition_method
+            )
+        with profile_region("distributed/ownership"):
+            self._setup_ownership()
         self._contribs: list[_ShardBucket] = []
         self._diag = None
         self._data = None
@@ -590,6 +594,7 @@ class DistributedSystem(_SystemBase):
                 parts.append(np.unique(r * L1 + cc))
             keys_per_shard.append(np.unique(np.concatenate(parts)) if parts else
                                   np.asarray([self._dump * L1 + self._dump]))
+        self._nnz_per_shard = [len(k) for k in keys_per_shard]
         nnz_max = max(len(k) for k in keys_per_shard)
         rows = np.full((P, nnz_max), self._dump, dtype=np.int64)
         cols = np.full((P, nnz_max), self._dump, dtype=np.int64)

@@ -52,10 +52,15 @@ class Klu2:
         import scipy.sparse as sp
         import scipy.sparse.linalg as spla
 
-        (data, indices, indptr, n), b, put = _host_csr_and_rhs(system)
+        from ..utils.profiling import profile_region
+
+        with profile_region("solve/klu2_gather"):
+            (data, indices, indptr, n), b, put = _host_csr_and_rhs(system)
         A = sp.csr_matrix((np.asarray(data), np.asarray(indices), np.asarray(indptr)), shape=(n, n))
-        lu = spla.splu(A.tocsc())
-        x = np.stack([lu.solve(b[:, j]) for j in range(b.shape[1])], axis=1)
+        with profile_region("solve/klu2_factor"):
+            lu = spla.splu(A.tocsc())
+        with profile_region("solve/klu2_triangular"):
+            x = np.stack([lu.solve(b[:, j]) for j in range(b.shape[1])], axis=1)
         put(x)
         r = A @ x - b
         bn = np.linalg.norm(b, axis=0)

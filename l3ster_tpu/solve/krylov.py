@@ -16,6 +16,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..utils.profiling import profile_region, profile_report
 from .interface import IterSolveResult, IterSolverOpts
 from .precond import Identity
 
@@ -80,14 +81,15 @@ def _precond_parts(precond, system, layout: str = "dof"):
         hit = cache.get(key)
         if hit is not None:
             return hit
-    setup_parts = getattr(precond, "setup_parts", None)
-    if setup_parts is not None:
-        parts = setup_parts(system, layout=layout) if layout != "dof" else setup_parts(system)
-    elif layout != "dof":
-        raise ValueError(f"{type(precond).__name__} does not support layout={layout!r}")
-    else:
-        M = precond.setup(system)
-        parts = (lambda r, *pc: M(r)), ()
+    with profile_region(f"precond/setup[{type(precond).__name__}]"):
+        setup_parts = getattr(precond, "setup_parts", None)
+        if setup_parts is not None:
+            parts = setup_parts(system, layout=layout) if layout != "dof" else setup_parts(system)
+        elif layout != "dof":
+            raise ValueError(f"{type(precond).__name__} does not support layout={layout!r}")
+        else:
+            M = precond.setup(system)
+            parts = (lambda r, *pc: M(r)), ()
     if key is not None:
         cache[key] = parts
     return parts
@@ -141,15 +143,17 @@ def _run_chunked(solve_fn, o, b, x0, args):
         it_h, res_h = jax.device_get((it, res))
         return int(it_h), float(res_h)
 
-    x, it, res = solve_fn(b, x0, *args)
-    if not o.chunk:
+    with profile_region("solve/krylov_chunk"):
+        x, it, res = solve_fn(b, x0, *args)
+        if not o.chunk:
+            it_h, res_h = _get(it, res)
+            return x, it_h, res_h
         it_h, res_h = _get(it, res)
-        return x, it_h, res_h
-    it_h, res_h = _get(it, res)
     total = it_h
     while total < o.max_iters and res_h > o.tol and it_h > 0:
-        x, it, res = solve_fn(b, x, *args)
-        it_h, res_h = _get(it, res)
+        with profile_region("solve/krylov_chunk"):
+            x, it, res = solve_fn(b, x, *args)
+            it_h, res_h = _get(it, res)
         total += it_h
     return x, total, res_h
 
@@ -418,6 +422,8 @@ class CG:
         system.set_solution_vector(x)
         if o.verbosity >= 1:
             print(f"CG: {int(it)} iterations, relative residual {float(res):.3e}")
+        if o.verbosity >= 2:
+            print(profile_report())
         return IterSolveResult(tol=float(res), num_iters=int(it))
 
 
@@ -475,4 +481,6 @@ class Gmres:
         system.set_solution_vector(x)
         if o.verbosity >= 1:
             print(f"GMRES: {int(it)} iterations, relative residual {float(res):.3e}")
+        if o.verbosity >= 2:
+            print(profile_report())
         return IterSolveResult(tol=float(res), num_iters=int(it))
