@@ -166,6 +166,10 @@ def main() -> None:
         step()  # first transient step compiles the transient-kernel programs
         for _ in range(n_warm):  # settle into the periodic iteration regime
             step()
+        from l3ster_tpu.utils.profiling import profile_enabled, profile_reset
+
+        if profile_enabled():  # settled-regime phase attribution only
+            profile_reset()
         t0 = time.perf_counter()
         iters = []
         for _ in range(n_steps):

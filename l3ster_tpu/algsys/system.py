@@ -32,7 +32,7 @@ from ..common.enums import CondensationPolicy, OperatorEvaluationStrategy
 from ..common.problem import AlgebraicSystemParams, AssemblyOptions, BCDefinition, ProblemDefinition
 from ..dofs.dofmap import build_dof_map
 from ..mesh.core import Mesh
-from ..utils.profiling import profile_region
+from ..utils.profiling import phase_fence, profile_enabled, profile_region
 from .local import (
     _basis_stack,
     domain_tables,
@@ -134,6 +134,9 @@ class _SystemBase:
         self._open = False
         with profile_region("assembly/end"):
             self._end_impl()
+            if profile_enabled():  # attribute queued device work to this phase
+                diag = getattr(self, "_diag", None)
+                phase_fence(*([self.rhs] if diag is None else [self.rhs, diag]))
         # operator values changed: preconditioner factors keyed on the old
         # epoch are stale (solver-side setup caching, solve/krylov.py)
         self._assembly_epoch = getattr(self, "_assembly_epoch", 0) + 1
@@ -454,6 +457,8 @@ class _SystemBase:
                 cache = self._eff_rhs_fn_cache = (fn, jfn)
             with profile_region("solve/effective_rhs"):
                 self._effective_rhs = cache[1](g, self.rhs, self.free_mask, *consts)
+                if profile_enabled():
+                    phase_fence(self._effective_rhs)
         return self._effective_rhs
 
     def solution_vector(self) -> jnp.ndarray:
@@ -529,6 +534,8 @@ class _SystemBase:
             solution_manager.values = upd(
                 self.x, solution_manager.values, safe, has_d, slots
             )
+            if profile_enabled():
+                phase_fence(solution_manager.values)
 
     def describe(self) -> str:
         s = (
@@ -1058,25 +1065,38 @@ class MatrixFreeSystem(_SystemBase):
                 small.append(c)
 
         sig = tuple(self._rhs_static_sig(c) for c in small + [c for c, _ in large])
+        # keyed per SIGNATURE, several entries: a BDF2 loop alternates its
+        # history slot order (vel1/vel2 swap) between steps, so a single-slot
+        # cache re-traced + re-compiled the whole pass EVERY step (~0.4 s/step
+        # measured at the Karman bench, 2026-08-20); the sig tuple pins the
+        # kernel/tables objects so ids cannot be recycled into stale hits
+        key = tuple(
+            (
+                id(k), id(t), opt, mode, dofs,
+                None if slots is None else tuple(int(s) for s in np.asarray(slots)),
+            )
+            for (k, t, opt, mode, dofs, slots) in sig
+        ) + (len(large),)
         cache = getattr(self, "_end_cache", None)
-        if (
-            cache is None
-            or len(cache["sig"]) != len(sig)
-            or any(not self._sig_match(a, b) for a, b in zip(cache["sig"], sig))
-            or len(cache["large"]) != len(large)
-        ):
-            cache = self._end_cache = {
-                "sig": sig,
+        if not isinstance(cache, dict) or "by_sig" not in cache:
+            cache = self._end_cache = {"by_sig": {}}
+        entry = cache["by_sig"].get(key)
+        if entry is None:
+            if len(cache["by_sig"]) > 8:
+                cache["by_sig"].clear()
+            entry = cache["by_sig"][key] = {
+                "sig": sig,  # pins kernel/tables referents
                 "small": jax.jit(self._build_rhs_pass(small)),
                 "large": [jax.jit(self._build_rhs_pass([c])) for c, _ in large],
             }
+        cache["small"], cache["large"] = entry["small"], entry["large"]
 
-        rhs, diag = cache["small"](
+        rhs, diag = entry["small"](
             self.rhs,
             jnp.zeros((self.n_dofs,), self.dtype),
             [self._rhs_args(c) for c in small],
         )
-        for (c, chunk), jfn in zip(large, cache["large"]):
+        for (c, chunk), jfn in zip(large, entry["large"]):
             E = c.verts.shape[0]
             for s in range(0, E, chunk):
                 rhs, diag = jfn(rhs, diag, [self._rhs_args(c, slice(s, s + chunk))])
@@ -1093,13 +1113,6 @@ class MatrixFreeSystem(_SystemBase):
         return (
             c.kernel, c.tables, c.options, c.mode, tuple(c.dof_inds),
             fa.slots if fa is not None else None,
-        )
-
-    @staticmethod
-    def _sig_match(a, b) -> bool:
-        return (
-            a[0] is b[0] and a[1] is b[1] and a[2] == b[2]
-            and a[3] == b[3] and a[4] == b[4] and a[5] == b[5]
         )
 
     def _rhs_args(self, c: _Contribution, sel: slice | None = None):

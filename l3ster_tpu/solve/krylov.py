@@ -16,7 +16,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..utils.profiling import profile_region, profile_report
+from ..utils.profiling import phase_fence, profile_enabled, profile_region, profile_report
 from .interface import IterSolveResult, IterSolverOpts
 from .precond import Identity
 
@@ -90,6 +90,8 @@ def _precond_parts(precond, system, layout: str = "dof"):
         else:
             M = precond.setup(system)
             parts = (lambda r, *pc: M(r)), ()
+        if profile_enabled():
+            phase_fence(parts[1])
     if key is not None:
         cache[key] = parts
     return parts
