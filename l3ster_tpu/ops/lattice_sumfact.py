@@ -57,6 +57,67 @@ def _mxu_precision():
 _PREC = _mxu_precision()
 
 
+def _bf163_stages(dtype) -> bool:
+    """K-stacked manual bf16x3 for the XLA sweep stages (TPU f32 + HIGH).
+
+    A HIGH-precision einsum with K = n1 (37 at the p=6 flagship) runs 3 MXU
+    passes each padding K to 128 (~29% utilization).  Stacking the bf16x3
+    expansion into the contraction dim — table ``[Th; Th; Tl]`` against input
+    ``[Xh; Xl; Xh]`` — computes the same sum in ONE pass at 3K=111 of 128.
+
+    MEASURED OFF by default (L3STER_TPU_XLA_BF163=1 to enable): at the p=6
+    flagship the XLA-stage conversions + K-concats materialize in HBM and
+    cost more than the saved passes (0.212 vs 0.145 ms/apply, 2026-08-20) —
+    the same copies-beat-passes tradeoff as [N|D] packing and KPACK.  Inside
+    the Pallas kernel the identical trick WINS (operands already live in
+    VMEM); see ops/pallas_zsweep2._split_stack.
+    """
+    import os
+
+    return (
+        jax.default_backend() == "tpu"
+        and jnp.dtype(dtype) == jnp.float32
+        and _PREC == jax.lax.Precision.HIGH
+        and os.environ.get("L3STER_TPU_XLA_BF163", "0") not in ("0", "", "false")
+    )
+
+
+def _xstack(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Input operand of the K-stacked bf16x3 dot: [Xh; Xl; Xh] along axis.
+
+    The hi part is built by BITMASK truncation onto the bf16 grid, not a
+    bf16 convert round-trip: XLA:TPU elides ``f32(bf16(x))`` pairs feeding a
+    dot (excess-precision simplification), which silently zeroes the lo term
+    (measured: 1.8e-3 error, i.e. plain-bf16 class, vs 1.0e-5 with the mask).
+    """
+    xh_f32 = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(x, jnp.uint32) & jnp.uint32(0xFFFF0000),
+        jnp.float32,
+    )
+    xl = (x - xh_f32).astype(jnp.bfloat16)
+    xh = xh_f32.astype(jnp.bfloat16)  # exact: xh_f32 lies on the bf16 grid
+    return jnp.concatenate([xh, xl, xh], axis=axis)
+
+
+def _tstack(T: np.ndarray, axis: int = 0) -> np.ndarray:
+    """Table operand: [Th; Th; Tl] along the contraction axis (host numpy)."""
+    import ml_dtypes
+
+    hi = np.asarray(T, np.float32)
+    hib = hi.astype(ml_dtypes.bfloat16)
+    lob = (hi - hib.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return np.concatenate([hib, hib, lob], axis=axis)
+
+
+def _ein3(spec: str, x3: jnp.ndarray, T3: jnp.ndarray) -> jnp.ndarray:
+    """einsum on pre-stacked bf16 operands, f32 accumulate, single pass."""
+    return jnp.einsum(
+        spec, x3, T3,
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    )
+
+
 @lru_cache(maxsize=None)
 def banded_tables(order: int, q_order: int, ne: int) -> tuple[np.ndarray, np.ndarray]:
     """(Ng, Dg) block-banded global 1D tables, each (ne*q1, ne*order + 1)."""
@@ -336,8 +397,17 @@ def local_apply_lattice(
                 NyT = jnp.pad(NyT, ((0, n1yp - n1y), (0, 0)))
                 DyT = jnp.pad(DyT, ((0, n1yp - n1y), (0, 0)))
         else:
-            ax = jnp.einsum("czyx,xQ->czyQ", t, NxT, precision=_PREC)
-            adx0 = jnp.einsum("czyx,xQ->czyQ", t, DxT, precision=_PREC)
+            bf163 = _bf163_stages(t.dtype)
+            if bf163:
+                Ngx, Dgx = banded_tables(order, q_order, ne[0])
+                NxT3 = jnp.asarray(_tstack(Ngx.T, 0))  # (3*n1x, Q)
+                DxT3 = jnp.asarray(_tstack(Dgx.T, 0))
+                t3 = _xstack(t, axis=3)
+                ax = _ein3("czyx,xQ->czyQ", t3, NxT3)
+                adx0 = _ein3("czyx,xQ->czyQ", t3, DxT3)
+            else:
+                ax = jnp.einsum("czyx,xQ->czyQ", t, NxT, precision=_PREC)
+                adx0 = jnp.einsum("czyx,xQ->czyQ", t, DxT, precision=_PREC)
         geom_t = geom if geom is not None else (
             "full",
             Ji_l.reshape(dim * dim, S, R * Q),
@@ -367,9 +437,19 @@ def local_apply_lattice(
             # NATURAL-layout handoff: the y-stage einsums keep their (c, z)
             # batch order (no transpose-on-write) and the kernel's cz blocks
             # need no pad+moveaxis relayout on either side
-            b = jnp.einsum("czyQ,yR->czRQ", ax, NyT, precision=_PREC).reshape(c, n1z, R * Q)
-            bdy = jnp.einsum("czyQ,yR->czRQ", ax, DyT, precision=_PREC).reshape(c, n1z, R * Q)
-            bdx = jnp.einsum("czyQ,yR->czRQ", adx0, NyT, precision=_PREC).reshape(c, n1z, R * Q)
+            if g == 1 and _bf163_stages(t.dtype):
+                Ngy, Dgy = banded_tables(order, q_order, ne[1])
+                NyT3 = jnp.asarray(_tstack(Ngy.T, 0))  # (3*n1y, R)
+                DyT3 = jnp.asarray(_tstack(Dgy.T, 0))
+                ax3 = _xstack(ax, axis=2)
+                adx03 = _xstack(adx0, axis=2)
+                b = _ein3("czyQ,yR->czRQ", ax3, NyT3).reshape(c, n1z, R * Q)
+                bdy = _ein3("czyQ,yR->czRQ", ax3, DyT3).reshape(c, n1z, R * Q)
+                bdx = _ein3("czyQ,yR->czRQ", adx03, NyT3).reshape(c, n1z, R * Q)
+            else:
+                b = jnp.einsum("czyQ,yR->czRQ", ax, NyT, precision=_PREC).reshape(c, n1z, R * Q)
+                bdy = jnp.einsum("czyQ,yR->czRQ", ax, DyT, precision=_PREC).reshape(c, n1z, R * Q)
+                bdx = jnp.einsum("czyQ,yR->czRQ", adx0, NyT, precision=_PREC).reshape(c, n1z, R * Q)
             Ngz, Dgz = banded_tables(order, q_order, ne[2])  # host numpy
             var_t = None
             if var is not None:
@@ -386,10 +466,24 @@ def local_apply_lattice(
             a = a.reshape(c, n1z, R, Q)
             ady = ady.reshape(c, n1z, R, Q)
             adx = adx.reshape(c, n1z, R, Q)
-            a2 = jnp.einsum("czRQ,yR->czyQ", a, NyT, precision=_PREC) + jnp.einsum(
-                "czRQ,yR->czyQ", ady, DyT, precision=_PREC
-            )
-            adx2 = jnp.einsum("czRQ,yR->czyQ", adx, NyT, precision=_PREC)
+            if g == 1 and _bf163_stages(t.dtype):
+                Ngy, Dgy = banded_tables(order, q_order, ne[1])
+                # fold the N/D transpose PAIR into one K-stacked dot: K = 6R
+                NDyT3 = jnp.asarray(
+                    np.concatenate([_tstack(Ngy.T, 1), _tstack(Dgy.T, 1)], axis=1)
+                )  # (n1y, 6R)
+                NyTb3 = jnp.asarray(_tstack(Ngy.T, 1))  # (n1y, 3R)
+                a2 = _ein3(
+                    "czRQ,yR->czyQ",
+                    jnp.concatenate([_xstack(a, 2), _xstack(ady, 2)], axis=2),
+                    NDyT3,
+                )
+                adx2 = _ein3("czRQ,yR->czyQ", _xstack(adx, 2), NyTb3)
+            else:
+                a2 = jnp.einsum("czRQ,yR->czyQ", a, NyT, precision=_PREC) + jnp.einsum(
+                    "czRQ,yR->czyQ", ady, DyT, precision=_PREC
+                )
+                adx2 = jnp.einsum("czRQ,yR->czyQ", adx, NyT, precision=_PREC)
         if g > 1:
             a2g = a2.reshape(c, n1z, n1yp // g, g * Q)
             adx2g = adx2.reshape(c, n1z, n1yp // g, g * Q)
@@ -399,6 +493,16 @@ def local_apply_lattice(
             ).reshape(c, n1z, n1yp, n1x)
             if n1yp != n1y:
                 y = y[:, :, :n1y]
+        elif _bf163_stages(t.dtype):
+            Ngx, Dgx = banded_tables(order, q_order, ne[0])
+            NDxT3 = jnp.asarray(
+                np.concatenate([_tstack(Ngx.T, 1), _tstack(Dgx.T, 1)], axis=1)
+            )  # (n1x, 6Q)
+            y = _ein3(
+                "czyQ,xQ->czyx",
+                jnp.concatenate([_xstack(a2, 3), _xstack(adx2, 3)], axis=3),
+                NDxT3,
+            )
         else:
             y = jnp.einsum("czyQ,xQ->czyx", a2, NxT, precision=_PREC) + jnp.einsum(
                 "czyQ,xQ->czyx", adx2, DxT, precision=_PREC

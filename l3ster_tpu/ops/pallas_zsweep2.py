@@ -75,13 +75,22 @@ def detect_diag_geometry(Ji_l, w_l, S: int, tol: float = 1e-11):
     return ("diag", jxm[:1].copy(), jym[:1].copy(), jzm[:, :1].copy(), wyx, wz)
 
 
-def _split_hi_lo(T: np.ndarray, split: bool, dtype):
+def _split_stack(T: np.ndarray, split: bool, dtype):
+    """Table operand for the K-STACKED bf16x3 dot.
+
+    split mode returns ``[Th; Th; Tl]`` (3K, M) bfloat16: the three MXU
+    passes of the manual bf16x3 scheme (Th@Xh + Th@Xl + Tl@Xh) collapse into
+    ONE dot against the in-kernel stacked input ``[Xh; Xl; Xh]`` (3K, N).
+    At the p=6 flagship K=n1z=37 pads to 128 at 29% utilization; 3K=111
+    fills 87% of one K tile, cutting the Mosaic dot count 3x at equal math.
+    Non-split (f64/interpret) mode returns the exact table unchanged.
+    """
     if not split:
-        return jnp.asarray(T, dtype), jnp.asarray(np.zeros_like(T), dtype)
+        return jnp.asarray(T, dtype)
     hi = np.asarray(T, np.float32)
     hi_b = hi.astype(jnp.bfloat16)
     lo_b = (hi - np.asarray(hi_b, np.float32)).astype(jnp.bfloat16)
-    return jnp.asarray(hi_b), jnp.asarray(lo_b)
+    return jnp.asarray(np.concatenate([hi_b, hi_b, lo_b], axis=0))
 
 
 def _make_kernel(
@@ -109,22 +118,16 @@ def _make_kernel(
         )
 
     def xsplit(x):
+        """Pre-stacked bf16x3 input: [Xh; Xl; Xh] along K (split mode)."""
         if not split:
-            return (x, None)
+            return x
         xh = x.astype(jnp.bfloat16)
         xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
-        return (xh, xl)
+        return jnp.concatenate([xh, xl, xh], axis=0)
 
-    def dotT(th, tl, xs, dt):
-        """Split-table dot against a pre-split input pair."""
-        if not split:
-            return dot0(th, xs[0], dt)
-        xh, xl = xs
-        return (
-            dot0(th, xh, jnp.float32)
-            + dot0(th, xl, jnp.float32)
-            + dot0(tl, xh, jnp.float32)
-        )
+    def dotT(t3, xs, dt):
+        """One K-stacked dot: [Th;Th;Tl] @ [Xh;Xl;Xh] == bf16x3 in 1 pass."""
+        return dot0(t3, xs, jnp.float32 if split else dt)
 
     def kernel(*refs):
         av_ref = None
@@ -135,7 +138,7 @@ def _make_kernel(
             (b_ref, bdy_ref, bdx_ref, ji_ref, w_ref, *rest) = refs
         if var_spec is not None:
             av_ref, *rest = rest
-        (tndh, tndl, gnh, gnl, gndh, gndl, a_ref, ady_ref, adx_ref) = rest
+        (tnd3, gn3, gnd3, a_ref, ady_ref, adx_ref) = rest
         dt = jnp.float32 if split else b_ref.dtype
         CL = c * LB  # c * LB lanes
 
@@ -162,13 +165,13 @@ def _make_kernel(
 
         # ---- z interpolation: channels ride the lane axis
         bs = xsplit(read_io(b_ref))
-        vdz = dotT(tndh[:], tndl[:], bs, dt)  # (2Sp, c*LB): rows [0:S]=v, [Sp:Sp+S]=dz
+        vdz = dotT(tnd3[:], bs, dt)  # (2Sp, c*LB): rows [0:S]=v, [Sp:Sp+S]=dz
         v = vdz[:S]
         dz = vdz[Sp : Sp + S]
         # dy/dx share the N-table: one dot at doubled N (same MXU cycles,
         # half the Mosaic op count / pipeline bubbles)
         bdyx = jnp.concatenate([read_io(bdy_ref), read_io(bdx_ref)], axis=1)
-        dydx = dotT(tndh[:, :Sp], tndl[:, :Sp], xsplit(bdyx), dt)
+        dydx = dotT(tnd3[:, :Sp], xsplit(bdyx), dt)
         dy = dydx[:S, :CL]
         dx = dydx[:S, CL:]
         # ---- physical derivatives + weights
@@ -249,9 +252,9 @@ def _make_kernel(
         # (K = 2S: halves the K-padding waste of two K=S dots); ty/tx share
         # Nz^T at doubled N
         t0z = jnp.concatenate([tvec[0], tz], axis=0)  # (2S, c*LB)
-        write_io(a_ref, dotT(gndh[:], gndl[:], xsplit(t0z), dt))
+        write_io(a_ref, dotT(gnd3[:], xsplit(t0z), dt))
         tyx = jnp.concatenate([ty, tx], axis=1)  # (S, 2*c*LB)
-        oyx = dotT(gnh[:], gnl[:], xsplit(tyx), dt)
+        oyx = dotT(gn3[:], xsplit(tyx), dt)
         write_io(ady_ref, oyx[:, :CL])
         write_io(adx_ref, oyx[:, CL:])
 
@@ -339,10 +342,11 @@ def fused_z_sweep_v2(
     TND = np.zeros((n1z, 2 * Sp))  # cols [0:S] = NzT, [Sp:Sp+S] = DzT
     TND[:, :S] = npN
     TND[:, Sp : Sp + S] = npD
-    tndh, tndl = _split_hi_lo(TND, split, b.dtype)
-    gnh, gnl = _split_hi_lo(npN.T, split, b.dtype)  # (S, n1z)
+    tnd3 = _split_stack(TND, split, b.dtype)
+    gn3 = _split_stack(npN.T, split, b.dtype)  # (S, n1z)
     # stacked [N; D] z-transpose table: a = [N;D]^T [t0; tz] in one dot
-    gndh, gndl = _split_hi_lo(np.concatenate([npN.T, npD.T], axis=0), split, b.dtype)
+    gnd3 = _split_stack(np.concatenate([npN.T, npD.T], axis=0), split, b.dtype)
+    ks = 3 if split else 1  # K-stack factor of the bf16x3 tables
 
     kernel = _make_kernel(
         A, c, diag, split, LB, S, Sp,
@@ -388,14 +392,11 @@ def fused_z_sweep_v2(
             A_var = jnp.pad(A_var, ((0, 0), (0, 0), (0, RQp - RQ)))
         args += [A_var]
         in_specs += [pl.BlockSpec((K_var, S, LB), lambda r: (0, 0, r))]
-    args += [tndh, tndl, gnh, gnl, gndh, gndl]
+    args += [tnd3, gn3, gnd3]
     in_specs += [
-        pl.BlockSpec((n1z, 2 * Sp), lambda r: (0, 0)),
-        pl.BlockSpec((n1z, 2 * Sp), lambda r: (0, 0)),
-        pl.BlockSpec((S, n1z), lambda r: (0, 0)),
-        pl.BlockSpec((S, n1z), lambda r: (0, 0)),
-        pl.BlockSpec((2 * S, n1z), lambda r: (0, 0)),
-        pl.BlockSpec((2 * S, n1z), lambda r: (0, 0)),
+        pl.BlockSpec((ks * n1z, 2 * Sp), lambda r: (0, 0)),
+        pl.BlockSpec((ks * S, n1z), lambda r: (0, 0)),
+        pl.BlockSpec((ks * 2 * S, n1z), lambda r: (0, 0)),
     ]
     out_sh = (c, n1z, RQp) if cz else (n1z, n_blocks * c * LB)
     out = pl.pallas_call(
