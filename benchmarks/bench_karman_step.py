@@ -49,7 +49,8 @@ def main() -> None:
     # (measured 08-20: iters [1287, 2092, 773, 780, ...]), so the settled
     # per-step rate needs a few untimed settling steps first.
     n_warm = int(os.environ.get("KARMAN_WARM", "3"))
-    lag = int(os.environ.get("KARMAN_LAG", "4"))
+    lag_env = os.environ.get("KARMAN_LAG", "4")
+    lag = lag_env if lag_env == "auto" else int(lag_env)
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.float32 if on_tpu else jnp.float64
     # f32 CG stagnates near 1e-7 relative residual; 1e-6 per step is far
@@ -61,10 +62,15 @@ def main() -> None:
     dt = 0.1
     nu = 1.0 / 150.0
 
+    # KARMAN_REFINE=2 doubles the mesh in each direction (~4x dofs): the
+    # preconditioner-scaling configuration (Jacobi iteration counts grow with
+    # 1/h; PMG stays ~flat)
+    rf = int(os.environ.get("KARMAN_REFINE", "1"))
     mesh = lt.make_cylinder_in_channel_2d(
         left_offset=6.0, right_offset=10.0, bottom_offset=4.0, top_offset=4.0,
-        n_circumf=32, n_radial=8, n_left=5, n_right=16, n_bottom=5, n_top=5,
-        q_radial=1.25, q_right=1.05,
+        n_circumf=32 * rf, n_radial=8 * rf, n_left=5 * rf, n_right=16 * rf,
+        n_bottom=5 * rf, n_top=5 * rf,
+        q_radial=1.25 ** (1.0 / rf), q_right=1.05 ** (1.0 / rf),
     )
     mesh = lt.generate_mesh(mesh, order=3)
     H = mesh.node_coords[:, 1].max()

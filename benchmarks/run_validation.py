@@ -1,0 +1,103 @@
+"""Per-round machine-readable validation record (VERDICT r3 item 7).
+
+Runs the two credibility anchors end-to-end and writes
+``VALIDATION_r0N.json`` at the repo root:
+
+1. the Karman vortex-shedding Strouhal study on the real TPU (the
+   reference's example-07 physics validation analog) — St must sit in the
+   measured confined-cylinder band 0.26–0.28 with <1% flow-rate imbalance;
+2. the scaled 8-shard 3D MMS regression on the virtual CPU mesh (the
+   reference re-runs its MPI matrix every CI, ``tests/CMakeLists.txt:53-91``)
+   — the distributed error must match single-shard to solver tolerance at
+   the converged MMS magnitude, including the (4, 2) 2D shard grid.
+
+Usage:  python benchmarks/run_validation.py [round_number]
+Env:    VALIDATION_STEPS (default 250) — Strouhal study length;
+        VALIDATION_SKIP_STROUHAL=1 / VALIDATION_SKIP_MMS=1 to run one half.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+
+
+def run_strouhal(n_steps: int) -> dict:
+    sys.path.insert(0, str(ROOT / "examples"))
+    from karman_2d import strouhal_study
+
+    st, imbalance, v_sig = strouhal_study(n_steps=n_steps, verbose=False)
+    tail = v_sig[-60:]
+    return {
+        "strouhal": round(float(st), 4),
+        "imbalance_pct": round(float(imbalance), 3),
+        "limit_cycle_amplitude": [round(float(tail.min()), 3), round(float(tail.max()), 3)],
+        "n_steps": n_steps,
+        "pass": bool(0.26 < st < 0.28 and imbalance < 1.0),
+    }
+
+
+def run_mms() -> dict:
+    """Run the scaled MMS in a subprocess on the 8-device virtual CPU mesh
+    (this process may already hold the TPU backend)."""
+    code = r"""
+import os, json
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import sys
+sys.path.insert(0, %r)
+from tests.test_distributed_scaled import _solve_scaled
+import l3ster_tpu as lt
+errs, walls = {}, {}
+for p in (1, 8):
+    errs[p], walls[p], _ = _solve_scaled(p, 5, 4)
+eg, _, itg = _solve_scaled(8, 4, 3, partition_grid=(4, 2),
+    solver=lt.CG(lt.IterSolverOpts(tol=1e-10, max_iters=4000), precond=lt.Jacobi()))
+e1, _, it1 = _solve_scaled(1, 4, 3,
+    solver=lt.CG(lt.IterSolverOpts(tol=1e-10, max_iters=4000), precond=lt.Jacobi()))
+print("VALJSON " + json.dumps({
+    "mms_err_1shard": errs[1], "mms_err_8shards": errs[8],
+    "agree": abs(errs[8] - errs[1]) < 1e-8 * max(errs[1], 1e-12),
+    "converged": errs[1] < 5e-5,
+    "wall_s_by_shards": {str(k): round(v, 2) for k, v in walls.items()},
+    "grid42_iters": [it1, itg],
+    "grid42_parity": abs(itg - it1) <= max(2, int(0.02 * it1)),
+}))
+""" % (str(ROOT),)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=str(ROOT), timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("VALJSON "):
+            return json.loads(line[len("VALJSON "):])
+    raise RuntimeError(f"MMS validation produced no record:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    rnd = sys.argv[1] if len(sys.argv) > 1 else os.environ.get("VALIDATION_ROUND", "04")
+    rec: dict = {
+        "round": rnd,
+        "timestamp": datetime.datetime.now().isoformat(timespec="seconds"),
+    }
+    if os.environ.get("VALIDATION_SKIP_MMS", "0") in ("0", "", "false"):
+        rec["scaled_mms"] = run_mms()
+        print("scaled MMS:", json.dumps(rec["scaled_mms"]))
+    if os.environ.get("VALIDATION_SKIP_STROUHAL", "0") in ("0", "", "false"):
+        rec["strouhal_study"] = run_strouhal(int(os.environ.get("VALIDATION_STEPS", "250")))
+        print("strouhal:", json.dumps(rec["strouhal_study"]))
+    out = ROOT / f"VALIDATION_r{rnd}.json"
+    out.write_text(json.dumps(rec, indent=1) + "\n")
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -581,14 +581,45 @@ class BoxSystem:
         # preconditioner-parts caching follows the wrapped system's epoch
         return getattr(self.inner, "_assembly_epoch", None)
 
-    def describe(self) -> str:
+    def describe(self, per_shard: bool = False) -> str:
+        """One-line summary; ``per_shard=True`` appends the per-shard window
+        table with min/max/total footer (``AssembledSystem.hpp:463-507``
+        per-rank table analog)."""
         Pz, Py = self.grid
-        return (
+        head = (
             f"BoxSystem: {self.inner.n_dofs} dofs as a {Pz}x{Py} pencil grid of "
             f"{self._ne_loc[2]}x{self._ne_loc[1]} element windows (lattice fast "
             f"path per shard, {len(self._faces)} boundary faces, "
             f"{2 * ((Pz > 1) + (Py > 1))} ppermute plane exchanges per apply)"
         )
+        if not per_shard:
+            return head
+        ne_x = int(np.asarray(self._ne_loc[0]).max()) if np.ndim(self._ne_loc[0]) else int(self._ne_loc[0])
+        ne_py = np.atleast_1d(np.asarray(self._ne_loc[1]))
+        ne_pz = np.atleast_1d(np.asarray(self._ne_loc[2]))
+        p_ord, n_unk = self._order, self._n_unk
+        rows = []
+        for pz in range(Pz):
+            for py in range(Py):
+                ez = int(ne_pz[pz] if len(ne_pz) > 1 else ne_pz[0])
+                ey = int(ne_py[py] if len(ne_py) > 1 else ne_py[0])
+                elems = ne_x * ey * ez
+                ndofs = (ne_x * p_ord + 1) * (ey * p_ord + 1) * (ez * p_ord + 1) * n_unk
+                rows.append([pz * Py + py, f"({pz},{py})", elems, ndofs])
+        cols = ["shard", "window", "elems", "win dofs"]
+        w = [max(len(h), 8) for h in cols]
+        lines = [head, "  ".join(h.rjust(wi) for h, wi in zip(cols, w))]
+        for r in rows:
+            lines.append("  ".join(str(v).rjust(wi) for v, wi in zip(r, w)))
+        nums = [[r[2] for r in rows], [r[3] for r in rows]]
+        for name, f in (("min", min), ("max", max), ("total", sum)):
+            lines.append(
+                "  ".join(
+                    [name.rjust(w[0]), "".rjust(w[1])]
+                    + [str(f(c)).rjust(wi) for c, wi in zip(nums, w[2:])]
+                )
+            )
+        return "\n".join(lines)
 
 
 def box_parallelize(

@@ -88,6 +88,7 @@ class DistributedSystem(_SystemBase):
         dtype=None,
         part_fractions=None,
         partition_method: str = "rcb",
+        partition_grid: tuple[int, int] | None = None,
     ):
         super().__init__(mesh, problem, bc_def, params, dtype)
         devices = devices if devices is not None else jax.devices()
@@ -97,11 +98,15 @@ class DistributedSystem(_SystemBase):
         self.device_mesh = jax.sharding.Mesh(
             np.asarray(devices[: self.n_shards]), ("shards",)
         )
+        if partition_grid is not None and partition_method == "rcb":
+            partition_method = "rcb2d"
+        self.partition_grid = partition_grid
         from ..utils.profiling import profile_region
 
         with profile_region("distributed/partition"):
             self._parts = partition_mesh_elements(
-                mesh, self.n_shards, problem, part_fractions, method=partition_method
+                mesh, self.n_shards, problem, part_fractions,
+                method=partition_method, grid=partition_grid,
             )
         with profile_region("distributed/ownership"):
             self._setup_ownership()
@@ -1189,14 +1194,60 @@ class DistributedSystem(_SystemBase):
         xs[so, lo] = xg[go]
         self.x = jnp.asarray(xs, self.dtype)
 
-    def describe(self) -> str:
+    def describe(self, per_shard: bool = False) -> str:
+        """One-line summary; ``per_shard=True`` appends the per-shard table
+        with min/max/total footer — elements, owned/ghost dofs, halo
+        send/recv widths, and local nnz where assembled (the per-rank
+        system-size table analog, ``algsys/AssembledSystem.hpp:463-507``)."""
         counts = [len(o) for o in self._owned]
-        return (
+        head = (
             f"DistributedSystem: {self.n_dofs} dofs over {self.n_shards} shards "
             f"(owned per shard: min {min(counts)}, max {max(counts)}), "
             f"{len(self.dirichlet_dofs)} Dirichlet dofs, halo width {self._max_send}, "
             f"{self._n_neighbors} neighbor offsets (ppermute)"
         )
+        if not per_shard:
+            return head
+        P = self.n_shards
+        elems = [0] * P
+        for _, blk in self.mesh.blocks():
+            part = self._parts.get(id(blk))
+            if part is not None:
+                for p, n in zip(*np.unique(part, return_counts=True)):
+                    elems[int(p)] += int(n)
+        send = [0] * P
+        recv = [0] * P
+        for _, SI, RI, SM in self._comm:
+            sm = np.asarray(SM)
+            ri = np.asarray(RI)
+            for p in range(P):
+                send[p] += int(sm[p].sum())
+                recv[p] += int((ri[p] != self._dump).sum())
+        nnz = getattr(self, "_nnz_per_shard", None)
+        cols = ["shard", "elems", "owned", "ghost", "send", "recv"] + (
+            ["nnz"] if nnz is not None else []
+        )
+        rows = []
+        for p in range(P):
+            r = [p, elems[p], len(self._owned[p]), len(self._ghost[p]), send[p], recv[p]]
+            if nnz is not None:
+                r.append(nnz[p])
+            rows.append(r)
+        data = list(zip(*rows))  # column-major
+        foot = [
+            ("min", [min(c) for c in data[1:]]),
+            ("max", [max(c) for c in data[1:]]),
+            ("total", [sum(c) for c in data[1:]]),
+        ]
+        w = [max(len(h), 8) for h in cols]
+        lines = [head, "  ".join(h.rjust(wi) for h, wi in zip(cols, w))]
+        for r in rows:
+            lines.append("  ".join(str(v).rjust(wi) for v, wi in zip(r, w)))
+        for name, vals in foot:
+            lines.append(
+                "  ".join([name.rjust(w[0])] + [str(v).rjust(wi) for v, wi in zip(vals, w[1:])])
+            )
+        return "\n".join(lines)
 
 
 def make_distributed_system(
@@ -1211,14 +1262,19 @@ def make_distributed_system(
     dtype=None,
     part_fractions=None,
     partition_method: str = "rcb",
+    partition_grid: tuple[int, int] | None = None,
 ) -> DistributedSystem:
     """Factory for the sharded system (distributeMesh + makeAlgebraicSystem
     analog).  MATRIX_FREE keeps everything element-local; GLOBAL_ASSEMBLY
     builds per-shard local CSR partial matrices (the Tpetra FECrsMatrix
     analog) sharing the same halo-exchange machinery.  ``part_fractions``
     sets heterogeneous shard weights (``comm/GatherNodeThroughputs.hpp``
-    analog).  ELEMENT_BOUNDARY static condensation is supported with
-    GLOBAL_ASSEMBLY (per-shard batched Schur complements,
+    analog).  ``partition_grid=(Pa, Pb)`` ranks shards on a 2D grid (RCB per
+    axis, row-major ranks) so halos ride the controlled ring offsets
+    {±1, ±Pb} — the multi-axis device-mesh analog of the reference's
+    topology-aware re-ranking (``comm/DistributeMesh.hpp:207-227``).
+    ELEMENT_BOUNDARY static condensation is supported with GLOBAL_ASSEMBLY
+    (per-shard batched Schur complements,
     ``StaticCondensationManager.hpp:152-207``); matrix-free evaluation
     rejects it like ``MakeAlgebraicSystem.hpp:18-31``."""
     from ..common.enums import CondensationPolicy
@@ -1230,5 +1286,5 @@ def make_distributed_system(
         raise ValueError("matrix-free evaluation cannot be combined with static condensation")
     return DistributedSystem(
         mesh, problem, bc_def, params, n_shards, devices, dtype, part_fractions,
-        partition_method,
+        partition_method, partition_grid,
     )

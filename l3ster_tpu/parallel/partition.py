@@ -12,7 +12,12 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["partition_rcb", "partition_graph", "partition_mesh_elements"]
+__all__ = [
+    "partition_rcb",
+    "partition_rcb_grid",
+    "partition_graph",
+    "partition_mesh_elements",
+]
 
 
 def partition_graph(
@@ -153,8 +158,57 @@ def partition_rcb(
     return out
 
 
+def partition_rcb_grid(
+    centroids: np.ndarray,
+    grid: tuple[int, int],
+    weights: np.ndarray | None = None,
+    part_fractions: np.ndarray | None = None,
+) -> np.ndarray:
+    """RCB onto a 2D shard GRID (Pa, Pb): Pa weighted strips along the
+    longest coordinate axis, each split into Pb parts along the next-longest.
+    Rank = a * Pb + b (row-major), so halo exchanges land on the controlled
+    ring offsets {±1, ±Pb, ±(Pb∓1)} — one ppermute per offset — instead of
+    the data-dependent offsets of blind 1D RCB.  The 2D analog of the
+    reference's topology-aware re-ranking (``comm/DistributeMesh.hpp:207-227``)
+    for multi-axis device meshes (ICI rings per axis).
+    """
+    Pa, Pb = int(grid[0]), int(grid[1])
+    n_parts = Pa * Pb
+    n = len(centroids)
+    w = np.ones(n) if weights is None else np.asarray(weights, dtype=np.float64)
+    fr = (
+        np.full(n_parts, 1.0 / n_parts)
+        if part_fractions is None
+        else np.asarray(part_fractions, dtype=np.float64) / np.sum(part_fractions)
+    )
+    fr2 = fr.reshape(Pa, Pb)
+    out = np.empty(n, dtype=np.int64)
+    c = np.asarray(centroids)
+    span = c.max(axis=0) - c.min(axis=0) if n else np.zeros(c.shape[1])
+    ax_a = int(np.argmax(span))
+    span2 = span.copy()
+    span2[ax_a] = -1.0
+    ax_b = int(np.argmax(span2))
+
+    def split_sorted(idx, axis, fracs):
+        """Contiguous weighted splits of idx along axis; returns list of idx."""
+        order = np.argsort(c[idx, axis], kind="stable")
+        sidx = idx[order]
+        cum = np.cumsum(w[sidx])
+        total = cum[-1] if len(cum) else 0.0
+        bounds = np.searchsorted(cum, np.cumsum(fracs)[:-1] / fracs.sum() * total)
+        return np.split(sidx, bounds)
+
+    strips = split_sorted(np.arange(n, dtype=np.int64), ax_a, fr2.sum(axis=1))
+    for a, strip in enumerate(strips):
+        for b, part in enumerate(split_sorted(strip, ax_b, fr2[a])):
+            out[part] = a * Pb + b
+    return out
+
+
 def partition_mesh_elements(
-    mesh, n_parts: int, problem=None, part_fractions=None, method: str = "rcb"
+    mesh, n_parts: int, problem=None, part_fractions=None, method: str = "rcb",
+    grid: tuple[int, int] | None = None,
 ) -> dict[int, np.ndarray]:
     """Part assignment for every block keyed by id(block).
 
@@ -190,8 +244,14 @@ def partition_mesh_elements(
         p = partition_graph(corners, n_parts, np.concatenate(weights), part_fractions)
     elif method == "rcb":
         p = partition_rcb(allc, n_parts, np.concatenate(weights), part_fractions)
+    elif method == "rcb2d":
+        if grid is None or int(grid[0]) * int(grid[1]) != n_parts:
+            raise ValueError(
+                f"method='rcb2d' needs grid=(Pa, Pb) with Pa*Pb == {n_parts}"
+            )
+        p = partition_rcb_grid(allc, grid, np.concatenate(weights), part_fractions)
     else:
-        raise ValueError(f"unknown partition method {method!r} (rcb | graph)")
+        raise ValueError(f"unknown partition method {method!r} (rcb | rcb2d | graph)")
     off = 0
     for (did, blk), c in zip(blocks, cents):
         parts[id(blk)] = p[off : off + blk.n_elements]

@@ -56,8 +56,19 @@ def _precond_parts(precond, system, layout: str = "dof"):
     iterations but saves the whole setup (host ILU factorization, MG
     hierarchy) each step."""
     epoch = getattr(system, "_assembly_epoch", None)
-    lag = int(getattr(precond, "lag", 0) or 0)
-    if lag and epoch is not None:
+    lag_attr = getattr(precond, "lag", 0) or 0
+    if lag_attr == "auto" and epoch is not None:
+        # adaptive freeze: keep the factors until the observed iteration
+        # count degrades past refresh_ratio x the post-refresh baseline
+        # (reported back by the solver via _note_precond_iters).  For slowly
+        # drifting transient operators this amortizes the setup cost over
+        # arbitrarily many steps instead of a fixed lag guess.
+        st = _auto_refresh_state(system, precond)
+        if st["stale"] or st["epoch"] is None:
+            st["epoch"], st["stale"], st["baseline"] = epoch, False, None
+        epoch = st["epoch"]
+    elif lag_attr and epoch is not None:
+        lag = int(lag_attr)
         epoch = epoch - (epoch % (lag + 1))  # bucket epochs: refresh every k+1
     key = None
     if epoch is not None:
@@ -95,6 +106,32 @@ def _precond_parts(precond, system, layout: str = "dof"):
     if key is not None:
         cache[key] = parts
     return parts
+
+
+def _auto_refresh_state(system, precond) -> dict:
+    states = getattr(system, "_precond_auto", None)
+    if states is None:
+        states = system._precond_auto = {}
+    st = states.get(precond)
+    if st is None:
+        st = states[precond] = {"epoch": None, "stale": True, "baseline": None}
+    return st
+
+
+def _note_precond_iters(system, precond, iters: int) -> None:
+    """Feed the solve's iteration count back to a ``lag='auto'``
+    preconditioner: the first post-refresh solve sets the baseline, and a
+    solve exceeding ``refresh_ratio`` x baseline marks the factors stale
+    (refreshed on the next setup).  No-op for fixed-lag preconditioners."""
+    if getattr(precond, "lag", 0) != "auto":
+        return
+    st = _auto_refresh_state(system, precond)
+    if iters <= 0:
+        return
+    if st["baseline"] is None:
+        st["baseline"] = max(int(iters), 1)
+    elif iters > float(getattr(precond, "refresh_ratio", 1.35)) * st["baseline"]:
+        st["stale"] = True
 
 
 def _cached_solve_fn(system, key_extra, build):
@@ -422,6 +459,7 @@ class CG:
             solve_fn, o, b, system.solution_vector(), (*consts, *M_consts)
         )
         system.set_solution_vector(x)
+        _note_precond_iters(system, self.precond, int(it))
         if o.verbosity >= 1:
             print(f"CG: {int(it)} iterations, relative residual {float(res):.3e}")
         if o.verbosity >= 2:
@@ -481,6 +519,7 @@ class Gmres:
             solve_fn, o, b, system.solution_vector(), (*consts, *M_consts)
         )
         system.set_solution_vector(x)
+        _note_precond_iters(system, self.precond, int(it))
         if o.verbosity >= 1:
             print(f"GMRES: {int(it)} iterations, relative residual {float(res):.3e}")
         if o.verbosity >= 2:

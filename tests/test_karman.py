@@ -185,7 +185,9 @@ def test_karman_strouhal():
     from karman_2d import strouhal_study
 
     st, imbalance, v_sig = strouhal_study(n_steps=250, verbose=False)
-    assert 0.25 < st < 0.35, f"Strouhal {st}"
+    # the confined-cylinder band actually measured on this configuration
+    # (recorded runs: 0.2667); loose literature band was 0.25-0.35
+    assert 0.26 < st < 0.28, f"Strouhal {st}"
     assert imbalance < 1.0, f"mass imbalance {imbalance}%"
     # the limit cycle must be saturated and roughly symmetric
     tail = v_sig[-60:]
