@@ -205,7 +205,11 @@ def bench_time_to_solve(jnp, lt, jax, order=6, n_1d=7):
     t_solved = time.perf_counter()
     # warm solve: same compiled program, fresh initial guess — the
     # steady-state per-step cost of a transient run (cold includes the jit
-    # compile through the remote tunnel)
+    # compile through the remote tunnel).  The SECOND warm solve is reported:
+    # solve #2 still pays a one-time secondary compile (~2.3 s measured),
+    # solves #3+ are steady (0.140 s at the flagship, 2026-08-20)
+    system.set_solution_vector(jnp.zeros_like(system.solution_vector()))
+    res_w = system.solve(solver)
     system.set_solution_vector(jnp.zeros_like(system.solution_vector()))
     t_w = time.perf_counter()
     res_w = system.solve(solver)
