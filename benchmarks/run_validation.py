@@ -28,19 +28,39 @@ import sys
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 
 
-def run_strouhal(n_steps: int) -> dict:
-    sys.path.insert(0, str(ROOT / "examples"))
-    from karman_2d import strouhal_study
-
-    st, imbalance, v_sig = strouhal_study(n_steps=n_steps, verbose=False)
-    tail = v_sig[-60:]
-    return {
-        "strouhal": round(float(st), 4),
-        "imbalance_pct": round(float(imbalance), 3),
-        "limit_cycle_amplitude": [round(float(tail.min()), 3), round(float(tail.max()), 3)],
-        "n_steps": n_steps,
-        "pass": bool(0.26 < st < 0.28 and imbalance < 1.0),
-    }
+def run_strouhal(n_steps: int, matrix_free: bool = False) -> dict:
+    """Each study runs in a SUBPROCESS: the direct anchor on the CPU-f64
+    oracle backend, the matrix-free fast path on the live (TPU) backend —
+    one process cannot switch backends after initialization."""
+    code = r"""
+import os, sys, json
+os.environ["KARMAN_BACKEND"] = %r
+sys.path.insert(0, %r)
+from karman_2d import strouhal_study
+st, imbalance, v_sig = strouhal_study(n_steps=%d, verbose=False, matrix_free=%r)
+tail = v_sig[-60:]
+print("VALJSON " + json.dumps({
+    "strouhal": round(float(st), 4),
+    "imbalance_pct": round(float(imbalance), 3),
+    "limit_cycle_amplitude": [round(float(tail.min()), 3), round(float(tail.max()), 3)],
+}))
+""" % ("native" if matrix_free else "cpu", str(ROOT / "examples"), n_steps, matrix_free)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=str(ROOT), timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("VALJSON "):
+            rec = json.loads(line[len("VALJSON "):])
+            rec["n_steps"] = n_steps
+            rec["matrix_free"] = matrix_free
+            rec["pass"] = bool(
+                0.26 < rec["strouhal"] < 0.28 and rec["imbalance_pct"] < 1.0
+            )
+            return rec
+    raise RuntimeError(
+        f"strouhal produced no record:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+    )
 
 
 def run_mms() -> dict:
@@ -56,19 +76,19 @@ import sys
 sys.path.insert(0, %r)
 from tests.test_distributed_scaled import _solve_scaled
 import l3ster_tpu as lt
-errs, walls = {}, {}
-for p in (1, 8):
-    errs[p], walls[p], _ = _solve_scaled(p, 5, 4)
-eg, _, itg = _solve_scaled(8, 4, 3, partition_grid=(4, 2),
-    solver=lt.CG(lt.IterSolverOpts(tol=1e-10, max_iters=4000), precond=lt.Jacobi()))
-e1, _, it1 = _solve_scaled(1, 4, 3,
-    solver=lt.CG(lt.IterSolverOpts(tol=1e-10, max_iters=4000), precond=lt.Jacobi()))
+# quick per-round config (p=3, 3^3 elements): single- vs 8-shard agreement,
+# MMS convergence magnitude, and (4,2)-grid iteration parity.  The heavier
+# p=4 sweep stays in tests/test_distributed_scaled.py -m slow.
+cg = lambda: lt.CG(lt.IterSolverOpts(tol=1e-10, max_iters=4000), precond=lt.Jacobi())
+e1, _, it1 = _solve_scaled(1, 4, 3, solver=cg())
+e8, _, it8 = _solve_scaled(8, 4, 3, solver=cg())
+eg, _, itg = _solve_scaled(8, 4, 3, partition_grid=(4, 2), solver=cg())
 print("VALJSON " + json.dumps({
-    "mms_err_1shard": errs[1], "mms_err_8shards": errs[8],
-    "agree": abs(errs[8] - errs[1]) < 1e-8 * max(errs[1], 1e-12),
-    "converged": errs[1] < 5e-5,
-    "wall_s_by_shards": {str(k): round(v, 2) for k, v in walls.items()},
-    "grid42_iters": [it1, itg],
+    "mms_err_1shard": e1, "mms_err_8shards": e8, "mms_err_grid42": eg,
+    "agree": abs(e8 - e1) < 1e-7 * max(e1, 1e-12)
+             and abs(eg - e1) < 1e-7 * max(e1, 1e-12),
+    "converged": e1 < 5e-3,  # p=3 h=1/3 MMS magnitude (~h^4)
+    "iters": [it1, it8, itg],
     "grid42_parity": abs(itg - it1) <= max(2, int(0.02 * it1)),
 }))
 """ % (str(ROOT),)
@@ -84,17 +104,27 @@ print("VALJSON " + json.dumps({
 
 def main() -> None:
     rnd = sys.argv[1] if len(sys.argv) > 1 else os.environ.get("VALIDATION_ROUND", "04")
-    rec: dict = {
-        "round": rnd,
-        "timestamp": datetime.datetime.now().isoformat(timespec="seconds"),
-    }
+    out = ROOT / f"VALIDATION_r{rnd}.json"
+    rec: dict = {}
+    if out.exists():  # merge: partial runs (skip flags) extend the record
+        try:
+            rec = json.loads(out.read_text())
+        except Exception:
+            rec = {}
+    rec["round"] = rnd
+    rec["timestamp"] = datetime.datetime.now().isoformat(timespec="seconds")
     if os.environ.get("VALIDATION_SKIP_MMS", "0") in ("0", "", "false"):
         rec["scaled_mms"] = run_mms()
         print("scaled MMS:", json.dumps(rec["scaled_mms"]))
     if os.environ.get("VALIDATION_SKIP_STROUHAL", "0") in ("0", "", "false"):
-        rec["strouhal_study"] = run_strouhal(int(os.environ.get("VALIDATION_STEPS", "250")))
-        print("strouhal:", json.dumps(rec["strouhal_study"]))
-    out = ROOT / f"VALIDATION_r{rnd}.json"
+        steps = int(os.environ.get("VALIDATION_STEPS", "250"))
+        # the fast matrix-free path first (its 0.34 s/step makes a per-round
+        # physics check cheap), then the assembled direct anchor
+        rec["strouhal_study_mf"] = run_strouhal(steps, matrix_free=True)
+        print("strouhal (matrix-free):", json.dumps(rec["strouhal_study_mf"]))
+        if os.environ.get("VALIDATION_SKIP_DIRECT", "0") in ("0", "", "false"):
+            rec["strouhal_study"] = run_strouhal(steps)
+            print("strouhal (direct):", json.dumps(rec["strouhal_study"]))
     out.write_text(json.dumps(rec, indent=1) + "\n")
     print("wrote", out)
 
