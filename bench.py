@@ -19,6 +19,18 @@ import time
 import numpy as np
 
 
+# Official baseline stand-in (see PARITY.md "Baseline stand-in"): the
+# reference cannot be built here (Trilinos/Eigen/Metis/hwloc/MPI absent, no
+# network), so the recorded baseline is the ANALYTIC UPPER BOUND of its
+# designated configuration — one MPI rank bound to one socket
+# (benchmarks/CMakeLists.txt:26-54), stand-in socket 8 cores x AVX-512 x
+# 2 FMA pipes x 3.0 GHz in the reference's own val_t = double
+# (common/Typedefs.h:23): 8*2*8*2*3.0e9 = 768 GFLOP/s.  The reference could
+# not exceed vs_baseline = 1.0 even at 100% FMA efficiency on the same
+# algorithmic FLOP count.
+BASELINE_SOCKET_F64_PEAK_GFLOPS = 768.0
+
+
 def _flops_per_apply(order: int, n_elems: int, n_unk: int, n_eq: int, q1: int) -> int:
     """Useful FLOPs of one sum-factorized constrained apply (3D)."""
     n = order + 1
@@ -127,7 +139,9 @@ def main() -> None:
                     ),
                     "value": round(flops / dt / 1e9, 2),
                     "unit": "GFLOP/s",
-                    "vs_baseline": None,
+                    # x (reference single-socket f64 FMA-peak upper bound);
+                    # see BASELINE_SOCKET_F64_PEAK_GFLOPS above + PARITY.md
+                    "vs_baseline": round(flops / dt / 1e9 / BASELINE_SOCKET_F64_PEAK_GFLOPS, 2),
                     "extra": {
                         "apply_ms": round(dt * 1e3, 3),
                         "provisional": provisional,

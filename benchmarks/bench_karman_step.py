@@ -156,14 +156,27 @@ def main() -> None:
             system.update_solution([IU, IV], manager, vel1)
         system.update_solution([IU, IV, IO, IP], manager, vel2 + vort + pres)
 
+        # BDF2 predictor warm start (VERDICT r4 item 5): seed the solve with
+        # the linear extrapolation x0 = 2 u_n - u_{n-1} instead of u_n.
+        # Dirichlet rows are time-constant, so 2x - x leaves them unchanged.
+        # KARMAN_EXTRAP=0 disables it for A/B iteration-count studies.
+        extrapolate = os.environ.get("KARMAN_EXTRAP", "1") != "0"
+        predict = jax.jit(lambda a, b: 2.0 * a - b)
+        x_prev = None
+
         def step():
-            nonlocal vel1, vel2
+            nonlocal vel1, vel2, x_prev
             system.begin_assembly()
             system.assemble_problem(
                 k_trans, [DOMAIN], manager.field_access(vel1 + vel2), options=asm_opts
             )
             system.assemble_problem(k_outlet, [OUTLET], dof_inds=outlet_dofs)
             system.end_assembly()
+            if extrapolate:
+                x_cur = system.solution_vector()
+                if x_prev is not None:
+                    system.set_solution_vector(predict(x_cur, x_prev))
+                x_prev = x_cur
             res = system.solve(solver)
             system.update_solution([IU, IV, IO, IP], manager, vel2 + vort + pres)
             vel1, vel2 = vel2, vel1
@@ -177,10 +190,11 @@ def main() -> None:
         if profile_enabled():  # settled-regime phase attribution only
             profile_reset()
         t0 = time.perf_counter()
-        iters = []
+        iters, cap_hits = [], 0
         for _ in range(n_steps):
             r = step()
             iters.append(getattr(r, "num_iters", 0))
+            cap_hits += bool(getattr(r, "capped", False))
         per_step = (time.perf_counter() - t0) / n_steps
         print(
             json.dumps(
@@ -191,6 +205,10 @@ def main() -> None:
                     "n_dofs": system.n_dofs,
                     "steps": n_steps,
                     "iters": iters,
+                    # steps that stopped at max_iters WITHOUT converging —
+                    # must be 0 for a valid transient record
+                    "cap_hits": cap_hits,
+                    "extrapolated_x0": extrapolate,
                     "device": str(jax.devices()[0]),
                 }
             )

@@ -136,6 +136,8 @@ def strouhal_study(
     export_every=0,
     solver=None,
     matrix_free=False,
+    refine=1,
+    warm_solver=None,
 ):
     """Vortex-shedding validation on the DFG-2D-2-like confined cylinder.
 
@@ -151,11 +153,15 @@ def strouhal_study(
     nu = 1.0 / Re  # D = 1, U_mean = 1
     y_b, y_t = -2.0, 2.1
 
+    # refine=2 doubles the mesh in each direction (~4x dofs) — the
+    # configuration where PMultigrid beats Jacobi 4.3x (BENCH_SWEEP.md)
+    rf = int(refine)
     mesh = lt.make_cylinder_in_channel_2d(
         r_outer=1.2,
         left_offset=2.0, right_offset=10.0, bottom_offset=-y_b, top_offset=y_t,
-        n_circumf=32, n_radial=7, n_left=3, n_right=17, n_bottom=3, n_top=3,
-        q_radial=1.28, q_right=1.06,
+        n_circumf=32 * rf, n_radial=7 * rf, n_left=3 * rf, n_right=17 * rf,
+        n_bottom=3 * rf, n_top=3 * rf,
+        q_radial=1.28 ** (1.0 / rf), q_right=1.06 ** (1.0 / rf),
     )
     mesh = lt.generate_mesh(mesh, order=mesh_order)
 
@@ -217,17 +223,32 @@ def strouhal_study(
     probe_xy = np.array([2.0, 0.0])
     probe = int(np.argmin(np.linalg.norm(mesh.node_coords[:, :2] - probe_xy, axis=1)))
 
-    for _ in range(8):  # steady Picard initial condition
+    # steady Picard initial condition.  A lagged PMultigrid stepping solver
+    # must NOT warm-start here (a coarse factor frozen from the steady
+    # operator mispreconditions the transient one — bench_karman_step notes);
+    # default the Picard sweeps to Jacobi when the stepper uses PMG.
+    from l3ster_tpu.solve.pmg import PMultigrid as _PMG
+
+    picard_solver = warm_solver or (
+        lt.CG(lt.IterSolverOpts(tol=1e-6, max_iters=6000, chunk=1024), precond=lt.Jacobi())
+        if isinstance(getattr(solver, "precond", None), _PMG)
+        else solver
+    )
+    for _ in range(8):
         system.begin_assembly()
         system.assemble_problem(k_steady, [DOMAIN], manager.field_access(vel1), options=asm_opts)
         system.assemble_problem(k_outlet, [OUTLET], dof_inds=outlet_dofs)
         system.end_assembly()
-        system.solve(solver)
+        system.solve(picard_solver)
         system.update_solution([IU, IV], manager, vel1)
     system.update_solution([IU, IV, IO, IP], manager, vel2 + vort + pres)
 
     exporter = lt.PvtuExporter(mesh)
     v_sig = np.zeros(n_steps)
+    # BDF2 predictor warm start for the iterative path: x0 = 2 u_n - u_{n-1}
+    # (Dirichlet rows are time-constant, so the extrapolation preserves them)
+    predict = jax.jit(lambda a, b: 2.0 * a - b)
+    x_prev = None
     for step in range(1, n_steps + 1):
         system.begin_assembly()
         system.assemble_problem(
@@ -235,6 +256,11 @@ def strouhal_study(
         )
         system.assemble_problem(k_outlet, [OUTLET], dof_inds=outlet_dofs)
         system.end_assembly()
+        if matrix_free:
+            x_cur = system.solution_vector()
+            if x_prev is not None:
+                system.set_solution_vector(predict(x_cur, x_prev))
+            x_prev = x_cur
         system.solve(solver)
         system.update_solution([IU, IV, IO, IP], manager, vel2 + vort + pres)
         vel1, vel2 = vel2, vel1

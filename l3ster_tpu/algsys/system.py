@@ -49,6 +49,17 @@ from .local import (
 __all__ = ["AssembledSystem", "MatrixFreeSystem", "make_algebraic_system"]
 
 
+def _last_solve_suffix(system) -> str:
+    """``describe()`` tail for the most recent iterative solve, shouting when
+    it stopped at the iteration cap (non-convergence must be LOUD: a capped
+    step in a transient loop silently pollutes the BDF2 history)."""
+    r = getattr(system, "_last_solve_result", None)
+    if r is None:
+        return ""
+    state = "converged" if r.converged else ("CAPPED (max_iters)" if r.capped else "NOT converged")
+    return f"; last solve: {r.num_iters} iters, res {r.tol:.2e}, {state}"
+
+
 @dataclass
 class _Contribution:
     """One registered (kernel, element bucket) assembly contribution."""
@@ -131,12 +142,14 @@ class _SystemBase:
     def end_assembly(self) -> None:
         if not self._open:
             raise RuntimeError("end_assembly without begin_assembly")
-        self._open = False
         with profile_region("assembly/end"):
             self._end_impl()
             if profile_enabled():  # attribute queued device work to this phase
                 diag = getattr(self, "_diag", None)
                 phase_fence(*([self.rhs] if diag is None else [self.rhs, diag]))
+        # cleared only after _end_impl succeeds so a transient device failure
+        # leaves the assembly open and end_assembly can simply be retried
+        self._open = False
         # operator values changed: preconditioner factors keyed on the old
         # epoch are stale (solver-side setup caching, solve/krylov.py)
         self._assembly_epoch = getattr(self, "_assembly_epoch", 0) + 1
@@ -542,7 +555,7 @@ class _SystemBase:
             f"{type(self).__name__}: {self.n_dofs} dofs, {self.n_rhs} rhs, "
             f"{len(self.dirichlet_dofs)} Dirichlet dofs, dtype={jnp.dtype(self.dtype).name}"
         )
-        return s
+        return s + _last_solve_suffix(self)
 
     # subclass hooks
     def _begin_impl(self) -> None:
@@ -859,17 +872,24 @@ class AssembledSystem(_SystemBase):
 
     def _end_impl(self) -> None:
         # form the per-element Schur complements and apply them to the global
-        # system (``StaticCondensationManager::endAssembly`` analog)
+        # system (``StaticCondensationManager::endAssembly`` analog); data/rhs
+        # are rebound only once ALL aggregates succeed, so a transiently failed
+        # end_assembly can be retried without double-adding Schur terms
+        data, rhs = self.data, self.rhs
+        yz = []
         for agg in self._cond_aggs.values():
             Kib = jnp.swapaxes(agg.Kbi, 1, 2)
             Y, Z = _schur_solve(agg.Kii, Kib, agg.Fi, self.dtype)
             schur = -jnp.einsum("ebi,eij->ebj", agg.Kbi, Y)
             pos = self._scatter_positions(agg.b_dofs)
-            self.data = self.data.at[jnp.asarray(pos.reshape(-1))].add(schur.reshape(-1))
+            data = data.at[jnp.asarray(pos.reshape(-1))].add(schur.reshape(-1))
             rhs_corr = -jnp.einsum("ebi,eir->ebr", agg.Kbi, Z)
-            self.rhs = self.rhs.at[jnp.asarray(agg.b_dofs.reshape(-1))].add(
+            rhs = rhs.at[jnp.asarray(agg.b_dofs.reshape(-1))].add(
                 rhs_corr.reshape(-1, self.n_rhs)
             )
+            yz.append((agg, Y, Z))
+        self.data, self.rhs = data, rhs
+        for agg, Y, Z in yz:
             agg.Y, agg.Z = Y, Z
 
     def _get_cond_agg(self, c: _Contribution) -> _CondensationAgg:
@@ -1418,6 +1438,8 @@ class MatrixFreeSystem(_SystemBase):
                 c._direct_ns = entry[3]
                 if len(entry) > 5:
                     c._packed_face = entry[5]
+                if len(entry) > 6:
+                    c._op_data_host = entry[6]
                 return c._op_data
             from ..utils.hostmath import host_setup, to_compute
 
@@ -1440,14 +1462,20 @@ class MatrixFreeSystem(_SystemBase):
                             c.tables.order,
                             c.options.quadrature_order(c.tables.order),
                         )
+            # keep the host (numpy) tensors alongside the device copy: host
+            # consumers (BoxSystem windowing) would otherwise read the
+            # committed device arrays back through the tunnel (~seconds each)
+            host_data = data
             data = to_compute(data)
             c._op_data = data
+            c._op_data_host = host_data
             if len(cache) > 64:
                 cache.clear()
             cache[key] = (
                 "static", digest, data, getattr(c, "_direct_ns", None),
                 (c.kernel, c.tables),  # pin id() referents
                 getattr(c, "_packed_face", None),
+                host_data,
             )
             return data
         if entry is not None and entry[0] == "jit":
@@ -1463,6 +1491,15 @@ class MatrixFreeSystem(_SystemBase):
         c._op_data = builder(c)
         c._direct_ns = None
         return c._op_data
+
+    def _operator_data_host(self, c: _Contribution):
+        """Host-resident op_data for consumers that repack on the host
+        (BoxSystem windowing): returns the pre-``to_compute`` tensors when the
+        static cache holds them, avoiding device->host readbacks through the
+        tunnel.  Falls back to the device copy for value-derived paths."""
+        self._operator_data(c)
+        host = getattr(c, "_op_data_host", None)
+        return host if host is not None else c._op_data
 
     def _op_value_builder(self, c: _Contribution):
         """A (contribution -> op_data) recompute closure whose jitted value

@@ -84,7 +84,9 @@ class BoxSystem:
         contribs = [c for c in sysm._contribs if c.mode != "rhs"]
         vols, faces = [], []
         for c in contribs:
-            d = sysm._operator_data(c)
+            # host copy: _setup windows these tensors with numpy; reading the
+            # device-committed cache back through the tunnel costs seconds
+            d = sysm._operator_data_host(c)
             if d[0] in ("lattice_sf_const", "lattice_sf_const_diag"):
                 vols.append((c, d))
             elif (
@@ -592,19 +594,26 @@ class BoxSystem:
             f"path per shard, {len(self._faces)} boundary faces, "
             f"{2 * ((Pz > 1) + (Py > 1))} ppermute plane exchanges per apply)"
         )
+        from ..algsys.system import _last_solve_suffix
+
+        head += _last_solve_suffix(self)
         if not per_shard:
             return head
         ne_x = int(np.asarray(self._ne_loc[0]).max()) if np.ndim(self._ne_loc[0]) else int(self._ne_loc[0])
-        ne_py = np.atleast_1d(np.asarray(self._ne_loc[1]))
-        ne_pz = np.atleast_1d(np.asarray(self._ne_loc[2]))
         p_ord, n_unk = self._order, self._n_unk
         rows = []
         for pz in range(Pz):
             for py in range(Py):
-                ez = int(ne_pz[pz] if len(ne_pz) > 1 else ne_pz[0])
-                ey = int(ne_py[py] if len(ne_py) > 1 else ne_py[0])
+                # REAL (unpadded) per-shard element counts: _ne_loc holds the
+                # uniform padded window sizes, which overstate ragged grids
+                ez = int(self._nez_real[pz])
+                ey = int(self._ney_real[py])
                 elems = ne_x * ey * ez
-                ndofs = (ne_x * p_ord + 1) * (ey * p_ord + 1) * (ez * p_ord + 1) * n_unk
+                ndofs = (
+                    (ne_x * p_ord + 1) * (ey * p_ord + 1) * (ez * p_ord + 1) * n_unk
+                    if elems
+                    else 0
+                )
                 rows.append([pz * Py + py, f"({pz},{py})", elems, ndofs])
         cols = ["shard", "window", "elems", "win dofs"]
         w = [max(len(h), 8) for h in cols]

@@ -72,6 +72,10 @@ class _ShardBucket:
     # map from this bucket's shard-local element slot to the block aggregate
     # row (padding row = aggregate E_max, a discard slot)
     cond: dict | None = None
+    # the source _Contribution (global element data + domain/boundary ids):
+    # consumed by rediscretizing preconditioners (distributed PMultigrid
+    # assembles the SAME kernels at Q1 on the coarse mesh)
+    src: object = None
 
 
 class DistributedSystem(_SystemBase):
@@ -336,6 +340,7 @@ class DistributedSystem(_SystemBase):
             fields=fields,
             mode=c.mode,
             cond=self._cond_info(c, part),
+            src=c,
         )
 
     def _cond_info(self, c: _Contribution, part: np.ndarray) -> dict | None:
@@ -722,6 +727,47 @@ class DistributedSystem(_SystemBase):
     def raw_operator(self):
         """The constrained distributed operator is built in operator()."""
         raise NotImplementedError("DistributedSystem uses operator() directly")
+
+    def _shard_apply_pieces(self, constrained: bool = True):
+        """Operator pieces for composing the apply INSIDE another shard_map
+        (e.g. the distributed PMultigrid V-cycle smoother).
+
+        Returns ``(fn, arrays, flags, sig)``: ``fn`` is the per-shard traced
+        function in the (1, ...)-sliced argument convention
+        (``fn(x, free_l, dir_l, owned_l, *comm, *arrays)`` -> owned-masked y),
+        ``arrays`` the packed operator tensors, ``flags`` whether each is
+        sharded over the leading axis, and ``sig`` a hashable STRUCTURE
+        signature — callers may cache traced programs keyed on it and feed
+        fresh ``arrays`` from later assembly epochs of identical structure.
+        """
+        import hashlib
+
+        if self._assembled_mode:
+            if self._data is None:
+                raise RuntimeError(
+                    "assembled distributed operator available after end_assembly"
+                )
+            fn = self._shard_fn(None, None, constrained)
+            arrays = [self._data, self._asm["rows"], self._asm["cols"]]
+            flags = [True, True, True]
+            sig = ("asm", self._data.shape, constrained, self._n_neighbors)
+            return fn, arrays, flags, sig
+        bucket_specs, arrays, flags = self._op_plumbing()
+        fn = self._shard_fn(bucket_specs, flags, constrained)
+        parts = []
+        for b, kind, static_A, off, n_arr in bucket_specs:
+            if static_A is None:
+                ah = None
+            else:  # tiny coefficient tensors; changes with kernel/time
+                ah = hashlib.sha1(
+                    np.ascontiguousarray(np.asarray(static_A, np.float64)).tobytes()
+                ).hexdigest()
+            parts.append(
+                (id(b.kernel), id(b.tables), b.mode, b.shape, b.verts.shape,
+                 kind, ah, off, n_arr)
+            )
+        sig = ("mf", constrained, self._n_neighbors, tuple(parts))
+        return fn, arrays, flags, sig
 
     def _sharded_apply(self, constrained: bool):
         from jax.sharding import PartitionSpec as P
@@ -1206,6 +1252,9 @@ class DistributedSystem(_SystemBase):
             f"{len(self.dirichlet_dofs)} Dirichlet dofs, halo width {self._max_send}, "
             f"{self._n_neighbors} neighbor offsets (ppermute)"
         )
+        from ..algsys.system import _last_solve_suffix
+
+        head += _last_solve_suffix(self)
         if not per_shard:
             return head
         P = self.n_shards

@@ -147,7 +147,9 @@ def partition_rcb(
         w = weights[idx][order]
         cum = np.cumsum(w)
         target = frac_left / frac_total * cum[-1]
-        split = int(np.searchsorted(cum, target))
+        # side='right': keep exact-tie elements left of the cut (see
+        # partition_rcb_grid.split_sorted)
+        split = int(np.searchsorted(cum, target, side="right"))
         split = max(0, min(split, len(idx)))
         left = idx[order[:split]]
         right = idx[order[split:]]
@@ -196,7 +198,13 @@ def partition_rcb_grid(
         sidx = idx[order]
         cum = np.cumsum(w[sidx])
         total = cum[-1] if len(cum) else 0.0
-        bounds = np.searchsorted(cum, np.cumsum(fracs)[:-1] / fracs.sum() * total)
+        # side='right': an element whose cumulative weight EQUALS the target
+        # belongs to the left part — side='left' leaks it across the cut on
+        # exact ties (uniform grids always tie), producing ragged strips and
+        # uncontrolled halo offsets
+        bounds = np.searchsorted(
+            cum, np.cumsum(fracs)[:-1] / fracs.sum() * total, side="right"
+        )
         return np.split(sidx, bounds)
 
     strips = split_sorted(np.arange(n, dtype=np.int64), ax_a, fr2.sum(axis=1))

@@ -39,7 +39,17 @@ class IterSolverOpts:
 
 @dataclass(frozen=True)
 class IterSolveResult:
-    """Outcome of an iterative solve (``solve/SolverInterface.hpp:39-43``)."""
+    """Outcome of an iterative solve (``solve/SolverInterface.hpp:39-43``).
+
+    ``converged``: the achieved residual met the requested tolerance.
+    ``capped``: the solve stopped because it hit ``max_iters`` WITHOUT
+    converging — in a transient loop such a step silently pollutes the BDF2
+    history, so iterative solvers emit a ``RuntimeWarning`` when this is set
+    and stepping drivers should count it (``bench_karman_step`` reports
+    ``cap_hits``).
+    """
 
     tol: float  # achieved relative residual (max over right-hand sides)
     num_iters: int
+    converged: bool = True
+    capped: bool = False

@@ -109,12 +109,21 @@ def _precond_parts(precond, system, layout: str = "dof"):
 
 
 def _auto_refresh_state(system, precond) -> dict:
+    # keyed by id(precond), with the object pinned in the value: hashing the
+    # preconditioner would (a) TypeError on unhashable configs and (b) let two
+    # distinct equal-config frozen dataclasses silently share one refresh
+    # state/baseline
     states = getattr(system, "_precond_auto", None)
     if states is None:
         states = system._precond_auto = {}
-    st = states.get(precond)
+    st = states.get(id(precond))
     if st is None:
-        st = states[precond] = {"epoch": None, "stale": True, "baseline": None}
+        st = states[id(precond)] = {
+            "epoch": None,
+            "stale": True,
+            "baseline": None,
+            "_pin": precond,  # keep id() from being recycled
+        }
     return st
 
 
@@ -132,6 +141,36 @@ def _note_precond_iters(system, precond, iters: int) -> None:
         st["baseline"] = max(int(iters), 1)
     elif iters > float(getattr(precond, "refresh_ratio", 1.35)) * st["baseline"]:
         st["stale"] = True
+
+
+def _finish_iter_solve(system, precond, name: str, o: IterSolverOpts, it, res):
+    """Shared solve epilogue: auto-lag feedback, LOUD cap-hit signal, result.
+
+    A solve that stops at ``max_iters`` without meeting ``tol`` is an easy
+    thing to miss in a stepping loop (it silently pollutes the BDF2 history),
+    so it always raises a ``RuntimeWarning`` and is recorded on the system for
+    ``describe()`` (``solve/SolverInterface.hpp:39-43`` result contract)."""
+    import warnings
+
+    it, res = int(it), float(res)
+    _note_precond_iters(system, precond, it)
+    converged = res <= o.tol
+    capped = (not converged) and it >= o.max_iters
+    result = IterSolveResult(tol=res, num_iters=it, converged=converged, capped=capped)
+    system._last_solve_result = result
+    if capped:
+        warnings.warn(
+            f"{name}: NOT CONVERGED — hit max_iters={o.max_iters} at relative "
+            f"residual {res:.3e} (tol {o.tol:.1e})",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    if o.verbosity >= 1:
+        state = "" if converged else ("  [CAPPED]" if capped else "  [not converged]")
+        print(f"{name}: {it} iterations, relative residual {res:.3e}{state}")
+    if o.verbosity >= 2:
+        print(profile_report())
+    return result
 
 
 def _cached_solve_fn(system, key_extra, build):
@@ -459,12 +498,7 @@ class CG:
             solve_fn, o, b, system.solution_vector(), (*consts, *M_consts)
         )
         system.set_solution_vector(x)
-        _note_precond_iters(system, self.precond, int(it))
-        if o.verbosity >= 1:
-            print(f"CG: {int(it)} iterations, relative residual {float(res):.3e}")
-        if o.verbosity >= 2:
-            print(profile_report())
-        return IterSolveResult(tol=float(res), num_iters=int(it))
+        return _finish_iter_solve(system, self.precond, "CG", o, it, res)
 
 
 @dataclass
@@ -519,9 +553,4 @@ class Gmres:
             solve_fn, o, b, system.solution_vector(), (*consts, *M_consts)
         )
         system.set_solution_vector(x)
-        _note_precond_iters(system, self.precond, int(it))
-        if o.verbosity >= 1:
-            print(f"GMRES: {int(it)} iterations, relative residual {float(res):.3e}")
-        if o.verbosity >= 2:
-            print(profile_report())
-        return IterSolveResult(tol=float(res), num_iters=int(it))
+        return _finish_iter_solve(system, self.precond, "GMRES", o, it, res)

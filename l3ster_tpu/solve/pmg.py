@@ -138,6 +138,9 @@ def _coarse_dense_inv(system, s1, fine_ids: np.ndarray):
         with profile_region("pmg/coarse_assembly"):
             s1.begin_assembly()
             for c in system._contribs:
+                # DistributedSystem holds _ShardBuckets; their .src is the
+                # original global _Contribution carrying domain/boundary ids
+                c = getattr(c, "src", None) or c
                 if c.mode == "rhs":
                     continue
                 fa = c.field_access[0] if c.field_access is not None else None
@@ -210,6 +213,8 @@ class PMultigrid:
         in consts."""
         if layout != "dof":
             raise ValueError("PMultigrid runs on dof-major vectors (unstructured meshes)")
+        if hasattr(system, "_shard_apply_pieces"):  # DistributedSystem
+            return self._setup_parts_distributed(system)
         fn, oc = system.operator_parts()
         cache = getattr(system, "_pmg_static_cache", None)
         if cache is None:
@@ -228,17 +233,16 @@ class PMultigrid:
             dinv = jnp.where(jnp.abs(d) > 1e-14, 1.0 / d, 1.0)
             lam_max = float(st["power"](dinv, *oc)) * 1.05
         # the coarse inverse ships in the SYSTEM dtype: a bf16 Binv (halved
-        # upload) was tried and STALLS CG at the 2048-iter cap (2026-08-20) --
-        # the 0.4%-rounded inverse of the ill-conditioned coarse operator
-        # loses the SPD/consistency CG needs at tol 1e-6
-        b_dtype = dtype
+        # upload) was tried and REJECTED -- it stalls CG at the 2048-iter cap
+        # (2026-08-20): the 0.4%-rounded inverse of the ill-conditioned coarse
+        # operator loses the SPD/consistency CG needs at tol 1e-6
         consts = (
             *oc,
             dinv,
             system.free_mask,
             jnp.asarray(lam_max, dtype),
             st["nbr"],
-            jnp.asarray(Binv_np, b_dtype),
+            jnp.asarray(Binv_np, dtype),
         )
         return st["apply"], consts
 
@@ -315,12 +319,11 @@ class PMultigrid:
                     z = jnp.zeros_like(r_l)
                     rc = r_l
                 rcc = restrict(rc * free[:, None], nbr)
-                # mixed-precision dot: Binv may ship bf16 (halved upload), but
-                # rcc stays f32 -- rounding the RESIDUAL would make M(r)
-                # nonlinear and stall CG (measured: 2048-iter cap, 2026-08-20)
-                zc = jnp.matmul(
-                    Binv, rcc, preferred_element_type=rcc.dtype
-                ).astype(rcc.dtype)
+                # Binv is system-dtype (bf16 was tried and rejected: it stalls
+                # CG -- see setup_parts); likewise never round rcc itself, a
+                # rounded RESIDUAL makes M(r) nonlinear (measured: 2048-iter
+                # cap, 2026-08-20)
+                zc = jnp.matmul(Binv, rcc)
                 z = z + prolong(zc, nbr) * free[:, None]
                 return _cheb(fn, r_l, z, dinv, lam_max, ocs, smooth_degree, eig_ratio)
 
@@ -333,3 +336,187 @@ class PMultigrid:
             fn=fn, n_oc=n_oc, apply=apply, power=power, s1=s1,
             fine_ids=fine_ids, nbr=nbr,
         )
+
+    # -- distributed (multi-chip) path ----------------------------------------
+    #
+    # The V-cycle runs INSIDE one shard_map program (the reference's whole
+    # preconditioner suite is MPI-native, ``solve/Ifpack2Preconditioners
+    # .hpp:85-192``; here the parallelism is the device mesh):
+    #
+    # - smoothing calls the system's per-shard operator fn (halo ppermutes
+    #   ride the existing ring-offset pattern);
+    # - restriction scatters each shard's OWNED fine residual rows into the
+    #   coarse vector via a per-shard Q1 stencil and ``psum``s the result, so
+    #   every shard holds the REPLICATED coarse residual;
+    # - the coarse solve is the replicated dense ``Binv @ rcc`` matmul on each
+    #   shard (the coarse level is <= coarse_max_dofs — replicating beats
+    #   sharding a matrix this small);
+    # - prolongation gathers from the replicated coarse correction back to the
+    #   shard's local rows (ghost slots need no correction: every operator
+    #   apply re-imports them from their owners).
+
+    def _setup_parts_distributed(self, system):
+        from jax.sharding import PartitionSpec as P
+
+        from ..utils.profiling import profile_region
+
+        dtype = system.dtype
+        cache = getattr(system, "_pmg_static_cache", None)
+        if cache is None:
+            cache = system._pmg_static_cache = {}
+        st = cache.get(self)
+        if st is None:
+            st = cache[self] = self._build_static_distributed(system)
+
+        inner, arrays, flags, sig = system._shard_apply_pieces(constrained=True)
+        if st.get("sig") != sig:
+            # (re)trace the V-cycle program for this operator structure; later
+            # epochs of identical structure reuse it with fresh arrays
+            st["sig"] = sig
+            st["apply"] = self._build_apply_distributed(system, st, inner, flags)
+
+        Binv_np = _coarse_dense_inv(system, st["s1"], st["fine_ids"])
+        fn, oc = system.operator_parts()
+        with profile_region("pmg/power_iteration"):
+            d = system.diagonal()
+            dinv = jnp.where(jnp.abs(d) > 1e-14, 1.0 / d, 1.0)
+            lam_max = float(st["power"](fn, dinv, *oc)) * 1.05
+        consts = (
+            system._free_local,
+            system._dir_local,
+            system._owned_mask,
+            *system._comm_arrays(),
+            *arrays,
+            dinv,
+            jnp.asarray(lam_max, dtype),
+            st["cnb"],
+            st["cwt"],
+            jnp.asarray(Binv_np, dtype),  # f32 Binv: bf16 rejected, see above
+        )
+        return st["apply"], consts
+
+    def _build_static_distributed(self, system):
+        from ..mesh.convert_order import extract_q1_mesh
+
+        mesh = system.mesh
+        dtype = system.dtype
+        n_nodes = mesh.n_nodes
+        n_unk = system.n_dofs // n_nodes
+        if n_unk * n_nodes != system.n_dofs:
+            raise ValueError("PMultigrid requires uniform dofs per node")
+
+        mesh1, fine_ids = extract_q1_mesh(mesh)
+        remap = np.full(n_nodes, -1, dtype=np.int64)
+        remap[fine_ids] = np.arange(len(fine_ids), dtype=np.int64)
+        nbr_np, wts_np = _build_transfers(mesh, remap)  # (n_nodes, K) global
+        s1 = _make_coarse_system(system, mesh1, self.coarse_max_dofs)
+        n_cnodes = len(fine_ids)
+        if s1.n_dofs != n_cnodes * n_unk:
+            raise ValueError("PMultigrid requires uniform dofs per node on the coarse mesh")
+
+        # per-shard stencils over local dof slots [owned | ghost | dump]:
+        # coarse DOF ids (node-major: cnode * n_unk + unk) and Q1 weights,
+        # with weights zeroed outside the OWNED segment so the psum'd
+        # restriction counts every fine dof exactly once
+        Pn, L = system.n_shards, system.n_loc1
+        K = nbr_np.shape[1]
+        cnb = np.zeros((Pn, L, K), dtype=np.int64)
+        cwt = np.zeros((Pn, L, K))
+        for p in range(Pn):
+            own = system._owned[p]
+            if not len(own):
+                continue
+            node, unk = own // n_unk, own % n_unk
+            cnb[p, : len(own)] = nbr_np[node] * n_unk + unk[:, None]
+            cwt[p, : len(own)] = wts_np[node]
+
+        def power(fn, dinv, *ocs):
+            # lambda_max of D^-1 A on the sharded operator (jitted per fn
+            # identity via the system's operator cache — fn is an argument,
+            # not a closure, so epochs reuse one trace when fn is stable)
+            v0 = jax.random.normal(
+                jax.random.PRNGKey(0), (Pn, L, 1), dtype=dtype
+            )
+
+            def step(_, v):
+                w = dinv[..., None] * fn(v, *ocs)
+                return w / jnp.linalg.norm(w)
+
+            v = jax.lax.fori_loop(0, 15, step, v0)
+            w = dinv[..., None] * fn(v, *ocs)
+            return jnp.vdot(v, w) / jnp.vdot(v, v)
+
+        return dict(
+            s1=s1,
+            fine_ids=fine_ids,
+            n_cdofs=n_cnodes * n_unk,
+            cnb=jnp.asarray(cnb, jnp.int32),
+            cwt=jnp.asarray(cwt, dtype),
+            power=jax.jit(power, static_argnums=0),
+            sig=None,
+            apply=None,
+        )
+
+    def _build_apply_distributed(self, system, st, inner, flags):
+        from jax.sharding import PartitionSpec as P
+
+        n_comm = 3 * system._n_neighbors
+        n_op = len(flags)
+        n_cdofs = st["n_cdofs"]
+        pre_degree = self.pre_degree if self.pre_degree is not None else self.smooth_degree
+        smooth_degree = self.smooth_degree
+        cycles = self.cycles
+        eig_ratio = self.eig_ratio
+
+        def fn_v(r, free_l, dir_l, owned_l, *rest):
+            comm_op = rest[: n_comm + n_op]
+            dinv1, lam_max, cnb1, cwt1, Binv = rest[n_comm + n_op :]
+            r0 = r[0]  # (L, m)
+            free = free_l[0]
+            owned = owned_l[0]
+            dinv = dinv1[0]
+            cnb = cnb1[0]  # (L, K)
+            cwt = cwt1[0]
+
+            def op(v, *_):  # (L, m) -> owned-masked (L, m); halos inside
+                return inner(v[None], free_l, dir_l, owned_l, *comm_op)[0]
+
+            def restrict(rf):
+                contrib = cwt[:, :, None] * rf[:, None, :]  # (L, K, m)
+                rc = jnp.zeros((n_cdofs, rf.shape[1]), rf.dtype).at[cnb].add(contrib)
+                return jax.lax.psum(rc, "shards")  # replicated coarse residual
+
+            def prolong(zc):
+                return jnp.einsum("lk,lkm->lm", cwt, zc[cnb])
+
+            def vcycle(r_l):
+                if pre_degree > 0:
+                    z = _cheb(
+                        op, r_l, jnp.zeros_like(r_l), dinv, lam_max, (),
+                        pre_degree, eig_ratio, z0_zero=True,
+                    )
+                    rc = r_l - op(z)
+                else:
+                    z = jnp.zeros_like(r_l)
+                    rc = r_l
+                rcc = restrict(rc * free[:, None])
+                zc = jnp.matmul(Binv, rcc)
+                z = z + prolong(zc) * free[:, None]
+                return _cheb(op, r_l, z, dinv, lam_max, (), smooth_degree, eig_ratio)
+
+            z = vcycle(r0)
+            for _ in range(cycles - 1):
+                z = z + vcycle(r0 - op(z))
+            # ghost slots must return ZERO (CG dot products reduce over the
+            # whole stacked layout; only owned rows may contribute)
+            return (z * owned[:, None])[None]
+
+        specs = (
+            (P("shards"),) * (4 + n_comm)
+            + tuple(P("shards") if f else P() for f in flags)
+            + (P("shards"), P(), P("shards"), P("shards"), P())
+        )
+        sharded = jax.shard_map(
+            fn_v, mesh=system.device_mesh, in_specs=specs, out_specs=P("shards")
+        )
+        return lambda r, *cs: sharded(r, *cs)
