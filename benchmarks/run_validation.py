@@ -28,32 +28,53 @@ import sys
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 
 
-def run_strouhal(n_steps: int, matrix_free: bool = False) -> dict:
+def run_strouhal(n_steps: int, matrix_free: bool = False, refine: int = 1) -> dict:
     """Each study runs in a SUBPROCESS: the direct anchor on the CPU-f64
     oracle backend, the matrix-free fast path on the live (TPU) backend —
-    one process cannot switch backends after initialization."""
+    one process cannot switch backends after initialization.
+
+    ``refine=2``: the 2x-refined (~104k dof) configuration where PMultigrid
+    earns its 4.3x (VERDICT r4 item 7) — stepped with CG+PMG(lag='auto')."""
     code = r"""
 import os, sys, json
 os.environ["KARMAN_BACKEND"] = %r
 sys.path.insert(0, %r)
+import l3ster_tpu as lt
 from karman_2d import strouhal_study
-st, imbalance, v_sig = strouhal_study(n_steps=%d, verbose=False, matrix_free=%r)
+refine = %d
+solver = None
+if refine > 1:  # the PMG configuration under validation
+    import jax
+    tol = 1e-6 if jax.default_backend() == "tpu" else 1e-8
+    solver = lt.CG(
+        lt.IterSolverOpts(tol=tol, max_iters=4000, chunk=256),
+        precond=lt.PMultigrid(lag="auto"),
+    )
+st, imbalance, v_sig = strouhal_study(
+    n_steps=%d, verbose=False, matrix_free=%r, refine=refine, solver=solver
+)
 tail = v_sig[-60:]
 print("VALJSON " + json.dumps({
     "strouhal": round(float(st), 4),
     "imbalance_pct": round(float(imbalance), 3),
     "limit_cycle_amplitude": [round(float(tail.min()), 3), round(float(tail.max()), 3)],
 }))
-""" % ("native" if matrix_free else "cpu", str(ROOT / "examples"), n_steps, matrix_free)
+""" % (
+        "native" if matrix_free else "cpu", str(ROOT / "examples"),
+        refine, n_steps, matrix_free,
+    )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
-        cwd=str(ROOT), timeout=3600,
+        cwd=str(ROOT), timeout=7200,
     )
     for line in out.stdout.splitlines():
         if line.startswith("VALJSON "):
             rec = json.loads(line[len("VALJSON "):])
             rec["n_steps"] = n_steps
             rec["matrix_free"] = matrix_free
+            if refine > 1:
+                rec["refine"] = refine
+                rec["solver"] = "mf-cg-pmg(lag=auto)"
             rec["pass"] = bool(
                 0.26 < rec["strouhal"] < 0.28 and rec["imbalance_pct"] < 1.0
             )
@@ -102,6 +123,36 @@ print("VALJSON " + json.dumps({
     raise RuntimeError(f"MMS validation produced no record:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
+def run_distributed_karman() -> dict:
+    """Run the distributed BDF2 Karman trajectory check (8 virtual CPU
+    devices vs single-device) in a subprocess; records iteration parity."""
+    code = r"""
+import os, json
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import sys
+sys.path.insert(0, %r)
+from tests.test_karman import test_karman_distributed_trajectory
+test_karman_distributed_trajectory()
+print("VALJSON " + json.dumps({"distributed_karman_trajectory": "pass"}))
+""" % (str(ROOT),)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=str(ROOT), timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("VALJSON "):
+            rec = json.loads(line[len("VALJSON "):])
+            rec["pass"] = True
+            return rec
+    return {
+        "pass": False,
+        "error": (out.stdout[-1000:] + out.stderr[-1000:])[-2000:],
+    }
+
+
 def main() -> None:
     rnd = sys.argv[1] if len(sys.argv) > 1 else os.environ.get("VALIDATION_ROUND", "04")
     out = ROOT / f"VALIDATION_r{rnd}.json"
@@ -116,6 +167,9 @@ def main() -> None:
     if os.environ.get("VALIDATION_SKIP_MMS", "0") in ("0", "", "false"):
         rec["scaled_mms"] = run_mms()
         print("scaled MMS:", json.dumps(rec["scaled_mms"]))
+    if os.environ.get("VALIDATION_SKIP_DIST_KARMAN", "0") in ("0", "", "false"):
+        rec["distributed_karman"] = run_distributed_karman()
+        print("distributed karman:", json.dumps(rec["distributed_karman"]))
     if os.environ.get("VALIDATION_SKIP_STROUHAL", "0") in ("0", "", "false"):
         steps = int(os.environ.get("VALIDATION_STEPS", "250"))
         # the fast matrix-free path first (its 0.34 s/step makes a per-round
@@ -125,6 +179,14 @@ def main() -> None:
         if os.environ.get("VALIDATION_SKIP_DIRECT", "0") in ("0", "", "false"):
             rec["strouhal_study"] = run_strouhal(steps)
             print("strouhal (direct):", json.dumps(rec["strouhal_study"]))
+    if os.environ.get("VALIDATION_REFINED", "0") not in ("0", "", "false"):
+        # the 2x-refined (~104k dof) PMG configuration (VERDICT r4 item 7);
+        # ~50 min on the TPU at 250 steps — opt-in via VALIDATION_REFINED=1
+        steps = int(os.environ.get("VALIDATION_STEPS", "250"))
+        rec["strouhal_study_refined_pmg"] = run_strouhal(
+            steps, matrix_free=True, refine=2
+        )
+        print("strouhal (refined, PMG):", json.dumps(rec["strouhal_study_refined_pmg"]))
     out.write_text(json.dumps(rec, indent=1) + "\n")
     print("wrote", out)
 

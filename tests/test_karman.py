@@ -91,6 +91,100 @@ def test_karman_mini():
     assert np.abs(x[wall_nodes, 0]).max() < 1e-10
 
 
+def test_karman_distributed_trajectory():
+    """Distributed BDF2 Karman (VERDICT r4 item 3): the transient machinery —
+    epoch-keyed operator caches, ``lag='auto'`` refresh state, BDF2 history
+    slot alternation, predictor warm start, flux integrals — running under
+    ``shard_map`` on 8 virtual devices must reproduce the single-device
+    trajectory: same fields and per-step CG iteration counts (the reference
+    runs every feature at 1/2/4 MPI ranks, ``tests/CMakeLists.txt:53-91``)."""
+    import jax
+
+    from l3ster_tpu.parallel.distributed import make_distributed_system
+
+    mesh = lt.make_cylinder_in_channel_2d(
+        left_offset=4.0, right_offset=6.0, bottom_offset=3.0, top_offset=3.0,
+        n_circumf=16, n_radial=4, n_left=3, n_right=6, n_bottom=2, n_top=2,
+        q_radial=1.3, q_right=1.1,
+    )
+    mesh = lt.generate_mesh(mesh, order=2)
+    H = mesh.node_coords[:, 1].max()
+    nu = 1.0 / 50.0
+    ks = navier_stokes_uvop_2d(nu)
+    kt = navier_stokes_uvop_2d(nu, dt=0.2)
+    ko = navier_stokes_outlet_bc(nu)
+    kf = flow_rate_bc()
+    opts = lt.AssemblyOptions(value_order=1, derivative_order=1)
+
+    def prof(i, o):
+        y = i.point.y
+        o[0] = 1.5 * (1.0 - (y / H) ** 2)
+        o[1] = 0.0
+
+    ki = lt.wrap_boundary_residual_kernel(prof, lt.KernelParams(dimension=2, n_equations=2))
+
+    def run(n_shards):
+        problem = lt.ProblemDefinition(4, [DOMAIN])
+        bcs = lt.BCDefinition(problem)
+        bcs.define_dirichlet([INLET, BOTTOM, TOP, CYLINDER], [0, 1])
+        params = lt.AlgebraicSystemParams(
+            eval_strategy=lt.OperatorEvaluationStrategy.MATRIX_FREE
+        )
+        if n_shards:
+            system = make_distributed_system(mesh, problem, bcs, params, n_shards=n_shards)
+        else:
+            system = lt.make_algebraic_system(mesh, problem, bcs, params)
+        system.set_dirichlet_bc_values([0.0, 0.0], [BOTTOM, TOP, CYLINDER], [0, 1])
+        system.set_dirichlet_bc_values(ki, [INLET], [0, 1])
+        man = lt.SolutionManager(mesh, 6)
+        vel1, vel2 = [0, 1], [2, 3]
+        warm = lt.CG(lt.IterSolverOpts(tol=1e-9, max_iters=8000), precond=lt.Jacobi())
+        solver = lt.CG(
+            lt.IterSolverOpts(tol=1e-9, max_iters=8000),
+            precond=lt.PMultigrid(lag="auto"),
+        )
+        for _ in range(2):  # Picard steady warm start (Jacobi: see bench notes)
+            system.begin_assembly()
+            system.assemble_problem(ks, [DOMAIN], man.field_access(vel1), options=opts)
+            system.assemble_problem(ko, [OUTLET], dof_inds=(0, 1, 3))
+            system.end_assembly()
+            system.solve(warm)
+            system.update_solution([0, 1], man, vel1)
+        system.update_solution([0, 1, 2, 3], man, vel2 + [4, 5])
+
+        predict = jax.jit(lambda a, b: 2.0 * a - b)
+        x_prev = None
+        iters = []
+        for _ in range(3):  # BDF2 steps with lag='auto' PMG + predictor x0
+            system.begin_assembly()
+            system.assemble_problem(
+                kt, [DOMAIN], man.field_access(vel1 + vel2), options=opts
+            )
+            system.assemble_problem(ko, [OUTLET], dof_inds=(0, 1, 3))
+            system.end_assembly()
+            x_cur = system.solution_vector()
+            if x_prev is not None:
+                system.set_solution_vector(predict(x_cur, x_prev))
+            x_prev = x_cur
+            res = system.solve(solver)
+            assert res.converged and not res.capped, res
+            iters.append(res.num_iters)
+            system.update_solution([0, 1, 2, 3], man, vel2 + [4, 5])
+            vel1, vel2 = vel2, vel1
+        inflow = -float(lt.compute_integral(kf, mesh, [INLET], man.field_access(vel1))[0, 0])
+        outflow = float(lt.compute_integral(kf, mesh, [OUTLET], man.field_access(vel1))[0, 0])
+        return iters, np.asarray(man.values), (inflow, outflow)
+
+    it1, v1, f1 = run(0)
+    it8, v8, f8 = run(8)
+    scale = np.abs(v1).max()
+    assert np.abs(v8 - v1).max() < 1e-6 * scale, np.abs(v8 - v1).max() / scale
+    # identical math modulo fp reduction order: per-step iteration parity
+    for a, b in zip(it1, it8):
+        assert abs(a - b) <= max(3, int(0.05 * a)), (it1, it8)
+    assert abs(f8[0] - f1[0]) < 1e-8 * abs(f1[0]) and abs(f8[1] - f1[1]) < 1e-8 * abs(f1[1])
+
+
 def test_cylinder_mesh_geometry():
     m = lt.make_cylinder_in_channel_2d(
         left_offset=4.0, right_offset=6.0, bottom_offset=3.0, top_offset=3.0,
