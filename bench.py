@@ -167,26 +167,29 @@ def main() -> None:
     # region includes full execution.  The scalar readback costs ~29ms FIXED
     # through the tunnel, so total/K is only an UPPER bound on the per-apply
     # time; the honest number is the SLOPE between two chain lengths.
-    def make_chain(K):
-        @jax.jit
-        def chained(x, *cs):
-            def body(i, v):
-                v = fn(v, *cs)
-                return v * (1.0 / jnp.maximum(jnp.sqrt(jnp.sum(v * v)), 1e-30))
+    #
+    # The trip count K is a TRACED argument, so both chain lengths share ONE
+    # executable: remote program loads through the tunnel cost minutes in a
+    # degraded state (measured 263 s for a cache-HIT trivial matmul,
+    # 2026-08-21), and a second compile+load once silently ate the whole
+    # phase-2 budget.
+    @jax.jit
+    def chained(x, K, *cs):
+        def body(i, v):
+            v = fn(v, *cs)
+            return v * (1.0 / jnp.maximum(jnp.sqrt(jnp.sum(v * v)), 1e-30))
 
-            return jnp.sum(jax.lax.fori_loop(0, K, body, x))
-
-        return chained
+        return jnp.sum(jax.lax.fori_loop(0, K, body, x))
 
     def chain_total(K, reps=4):
         """min-of-reps total runtime of a K-apply chain (the min rejects
         tunnel stalls, which only ever ADD time)."""
-        chained = make_chain(K)
-        _retry(lambda: float(chained(x, *consts)))  # compile + warmup
+        Kd = jnp.asarray(K, jnp.int32)
+        _retry(lambda: float(chained(x, Kd, *consts)))  # compile + warmup
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(chained(x, *consts))
+            float(chained(x, Kd, *consts))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -195,19 +198,38 @@ def main() -> None:
     # number printed IMMEDIATELY so the driver records something even if a
     # later phase dies or the budget runs out.
     K1, K2 = 256, 1024
+    t_c1 = time.perf_counter()
     c1 = _retry(lambda: chain_total(K1))
-    emit(c1 / K1, True, {"timing": f"chain({K1}) total/K upper bound"})
+    compile1_s = time.perf_counter() - t_c1  # ~all compile: exec is ~0.1 s
+    emit(
+        c1 / K1, True,
+        {"timing": f"chain({K1}) total/K upper bound",
+         "compile1_s": round(compile1_s, 1)},
+    )
 
     # Phase 2 (budget-gated): second chain length -> slope timing; the last
     # printed line supersedes the provisional one.
     if left() > 45.0:
         try:
+            t_c2 = time.perf_counter()
             c2 = _retry(lambda: chain_total(K2))
             dt = (c2 - c1) / (K2 - K1)
             if dt > 0:
-                emit(dt, False, {"timing": f"slope chain({K2})-chain({K1})"})
-        except Exception:
-            pass  # provisional line already printed
+                emit(
+                    dt, False,
+                    {"timing": f"slope chain({K2})-chain({K1})",
+                     "compile1_s": round(compile1_s, 1),
+                     "compile2_s": round(time.perf_counter() - t_c2, 1),
+                     "elapsed_s": round(time.perf_counter() - t_start, 1)},
+                )
+            else:  # non-positive slope = tunnel stall artifact; keep the
+                # provisional record but say so where the log shows it
+                print(f"bench: non-positive slope ({dt:.3e}s), keeping provisional",
+                      file=sys.stderr)
+        except Exception as e:
+            # provisional line already printed; a silent pass here once hid a
+            # real phase-2 failure for a whole session
+            print(f"bench phase 2 failed: {type(e).__name__}: {e}", file=sys.stderr)
 
 
 def _diffusion_3d(inp, out):

@@ -268,6 +268,79 @@ def lattice_transpose(t0: jnp.ndarray, td, tabs):
     )
 
 
+def _permute_geom_qr(geom_t, S: int, R: int, Q: int):
+    """Re-order the packed per-QP geometry's lane plane from R-major (RQ) to
+    Q-major (QR).  The z-sweep kernel's lane axis is opaque, so feeding it
+    QR-ordered inputs + QR-ordered geometry computes the identical result —
+    and the y-stage dot outputs land in QR order for free (no transposes)."""
+
+    def p2(v):  # (..., R*Q) -> (..., Q*R)
+        sh = v.shape[:-1]
+        return jnp.swapaxes(v.reshape(sh + (R, Q)), -1, -2).reshape(sh + (Q * R,))
+
+    if geom_t[0] == "diag":
+        _, jx, jy, jz, wyx, wz = geom_t
+        return ("diag", p2(jx), p2(jy), jz, p2(wyx), wz)
+    _, ji, w = geom_t
+    return ("full", p2(ji), p2(w))
+
+
+def _apply_xy_pallas(
+    A_const, t, geom_t, order: int, q_order: int, ne: tuple, qsh: tuple,
+    interpret: bool,
+):
+    """Constant-coefficient 3D volume apply with ALL sweep stages as Pallas
+    kernels (VMEM bf16x3 packing; see ops/pallas_stages.py) around the fused
+    z-sweep.  t is the channel-leading (c, n1z, n1y, n1x) lattice tensor;
+    returns the same layout."""
+    from .pallas_stages import kc_transpose_tables, kstacked_matmul, stage_tables
+    from .pallas_zsweep2 import fused_z_sweep_v2
+
+    c, n1z, n1y, n1x = t.shape
+    S, R, Q = qsh
+    split = t.dtype == jnp.float32 and not interpret
+    czy = c * n1z * n1y
+    czQ = c * n1z * Q
+
+    # ---- x interpolation: ONE [N|D]-paired K-stacked dot
+    TxND = stage_tables(order, q_order, ne[0], "ND", split)
+    axd = kstacked_matmul(t.reshape(czy, n1x), None, TxND, 2 * Q, interpret)
+    ax = axd[:, :Q].reshape(c, n1z, n1y, Q)
+    adx = axd[:, Q:].reshape(c, n1z, n1y, Q)
+    # ---- y interpolation on (c, z, Q, y) rows; outputs in QR lane order
+    axT = jnp.swapaxes(ax, 2, 3).reshape(czQ, n1y)
+    adxT = jnp.swapaxes(adx, 2, 3).reshape(czQ, n1y)
+    TyND = stage_tables(order, q_order, ne[1], "ND", split)
+    TyN = stage_tables(order, q_order, ne[1], "N", split)
+    bqd = kstacked_matmul(axT, None, TyND, 2 * R, interpret)
+    bdxq = kstacked_matmul(adxT, None, TyN, R, interpret)
+    b = bqd[:, :R].reshape(c, n1z, Q * R)
+    bdy = bqd[:, R:].reshape(c, n1z, Q * R)
+    bdx = bdxq.reshape(c, n1z, Q * R)
+    # ---- fused z-sweep + QP algebra + z-transpose, QR-permuted geometry
+    Ngz, Dgz = banded_tables(order, q_order, ne[2])
+    NzT = jnp.asarray(Ngz.T, t.dtype)
+    DzT = jnp.asarray(Dgz.T, t.dtype)
+    a, ady, adxz = fused_z_sweep_v2(
+        None if A_const is None else np.asarray(A_const),
+        b, bdy, bdx, _permute_geom_qr(geom_t, S, R, Q), NzT, DzT,
+        interpret=interpret,
+        host_tables=(Ngz.T, Dgz.T),
+        layout="cz",
+    )
+    # ---- y transpose: rows are ALREADY (c, z, Q): K-concat pair dot
+    TyKC = kc_transpose_tables(order, q_order, ne[1], split)
+    TyNT = stage_tables(order, q_order, ne[1], "NT", split)
+    a2q = kstacked_matmul(a.reshape(czQ, R), ady.reshape(czQ, R), TyKC, n1y, interpret)
+    adx2q = kstacked_matmul(adxz.reshape(czQ, R), None, TyNT, n1y, interpret)
+    # ---- x transpose on (c, z, y, Q) rows
+    a2 = jnp.swapaxes(a2q.reshape(c, n1z, Q, n1y), 2, 3).reshape(czy, Q)
+    adx2 = jnp.swapaxes(adx2q.reshape(c, n1z, Q, n1y), 2, 3).reshape(czy, Q)
+    TxKC = kc_transpose_tables(order, q_order, ne[0], split)
+    y = kstacked_matmul(a2, adx2, TxKC, n1x, interpret)
+    return y.reshape(c, n1z, n1y, n1x)
+
+
 def pack_face_banded(A, w, fp: dict, order: int, q_order: int):
     """Pack a value-only boundary contribution for the banded face apply.
 
@@ -371,6 +444,40 @@ def local_apply_lattice(
         (NxT, DxT), (NyT, DyT), (NzT, DzT) = tabs
         S, R, Q = qsh
         n1z = t.shape[1]
+        # VMEM-packed sweep stages (ops/pallas_stages.py): every x/y stage
+        # matmul runs as a Pallas kernel with bf16x3 splitting + K-stacking
+        # done in VMEM and [N|D] table pairing — the round-4 "packing wins
+        # only in VMEM" conclusion applied to the whole pipeline.  The
+        # z-kernel's QP lanes ride in Q-major (QR) order on this path, so the
+        # y-stage outputs and y-transpose inputs need no HBM transposes.
+        #
+        # MEASURED OFF by default (L3STER_TPU_XY_PALLAS=1 to enable): clean
+        # A/B at the p=6 flagship (benchmarks/probe_newpath.py, 2026-08-21):
+        # 0.274 ms/apply vs 0.145 ms for the XLA einsum stages, despite each
+        # stage kernel running 3.5 us in ISOLATION (6x faster than its XLA
+        # pair).  The composition loses: the 7 custom-call boundaries force
+        # HBM materialization of every inter-stage relayout (transposes,
+        # lane slices, pads) that XLA otherwise fuses INTO its einsums, and
+        # serialize scheduling — ~190 us of composition tax against ~60 us
+        # of MXU-pass savings.  See BENCH_SWEEP.md round-5 for the full
+        # floor analysis; the surviving fusion design is the single z-sweep
+        # kernel (everything else stays XLA).
+        xy_pallas = (
+            var is None
+            and _kpack_group(t.shape[3], Q) == 1
+            and os.environ.get("L3STER_TPU_XY_PALLAS", "0") in ("1", "true")
+        )
+        if xy_pallas:
+            geom_t = geom if geom is not None else (
+                "full",
+                Ji_l.reshape(dim * dim, S, R * Q),
+                w_l.reshape(S, R * Q),
+            )
+            y = _apply_xy_pallas(
+                A_const, t, geom_t, order, q_order, ne, qsh,
+                interpret=jax.default_backend() == "cpu",
+            )
+            return y if tensor_io else y.reshape(c, -1).T.reshape(x.shape)
         # NOTE: [N|D] table packing (one matmul with doubled free/contraction
         # dim) was tried here and measured SLOWER (0.322 vs 0.299 ms at the
         # flagship): the concat/slice copies outweigh the MXU pass savings

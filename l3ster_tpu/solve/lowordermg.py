@@ -235,6 +235,13 @@ class LowOrderMG:
             if layout != "dof":
                 raise ValueError("box LowOrderMG runs on the stacked window layout")
             return self._setup_parts_box(system)
+        if hasattr(system, "_shard_apply_pieces"):  # DistributedSystem
+            raise ValueError(
+                "LowOrderMG needs a structured lattice; on multiple chips use "
+                "box_parallelize(system, ...) (window-decomposed LowOrderMG, "
+                "the intended pairing for structured meshes) or "
+                "PMultigrid (distributed-native, any mesh)"
+            )
         lat = layout == "lattice"
         axes = _axis_coords(system.mesh)
         if axes is None:
