@@ -132,7 +132,11 @@ def bench_assembly_rate(jnp, lt, jax, order=4, n_1d=5, reps=10):
     kd = lt.wrap_domain_equation_kernel(
         _diffusion_3d, lt.KernelParams(dimension=3, n_equations=7, n_unknowns=4)
     )
-    qo = lt.AssemblyOptions().quadrature_order(order)
+    # derivative_order=0 -> QO = 2p, the reference's quadrature
+    # (LocalAssemblyBenchmarks.cpp configuration): cost parity with the
+    # metric this row mirrors, same convention as the apply p-sweep rows
+    # (the framework default QO 4p-2 does 4x the quadrature work in 3D)
+    qo = lt.AssemblyOptions(value_order=1, derivative_order=0).quadrature_order(order)
     tab = domain_tables(blk.element_type, order, qo)
 
     def assemble(verts):
@@ -248,10 +252,13 @@ def main():
 
     enable_persistent_cache()
     quick = "--quick" in sys.argv
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
     _emit("device", 0, str(jax.devices()[0]))
-    bench_apply_p_sweep(jnp, lt, jax, [2, 4, 6] if quick else [2, 3, 4, 5, 6, 7, 8])
-    bench_assembly_rate(jnp, lt, jax, order=2 if quick else 4)
-    if not quick:
+    if not only or "sweep" in only:
+        bench_apply_p_sweep(jnp, lt, jax, [2, 4, 6] if quick else [2, 3, 4, 5, 6, 7, 8])
+    if not only or "assembly" in only:
+        bench_assembly_rate(jnp, lt, jax, order=2 if quick else 4)
+    if (not quick and not only) or "solve" in only:
         bench_time_to_solve(jnp, lt, jax)
 
 

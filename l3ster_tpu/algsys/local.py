@@ -261,13 +261,22 @@ def local_system(
 
     def accumulate(A_c, f_c, B_c, w_c):
         # A_c (E,q,d,e,u), B_c (E,q,d,n), w_c (E,q)
+        #
+        # sqrt-weight folding: K = (sqrt(w) M)^T (sqrt(w) M) materializes ONE
+        # M-sized operand instead of three (M, w-repeated, w*M) — the M tensor
+        # (E, Q, n_eq, n_loc) is the dominant HBM traffic of local assembly
+        # (2.9 GB at the p=4 batch-64 bench; measured 17 -> ~7 ms/batch).
+        # Gauss weights and valid-element Jacobians are strictly positive, so
+        # sqrt(w) is exact; a negative w means an inverted element.
         M = jnp.einsum("eqdiu,eqdn->eqinu", A_c, B_c)  # (E,q,n_eq,n_nodes,n_unk)
         q = w_c.shape[1]
-        Mr = M.reshape(E, q * p.n_equations, n_loc)
-        w2 = jnp.repeat(w_c, p.n_equations, axis=1)  # (E, q*n_eq)
-        Mw = Mr * w2[:, :, None]
-        K = jnp.einsum("eqi,eqj->eij", Mw, Mr)
-        F = jnp.einsum("eqi,eqr->eir", Mw, f_c.reshape(E, q * p.n_equations, p.n_rhs))
+        sw = jnp.sqrt(jnp.maximum(w_c, 0.0))  # (E, q)
+        Ms = (
+            M.reshape(E, q, p.n_equations, n_loc) * sw[:, :, None, None]
+        ).reshape(E, q * p.n_equations, n_loc)
+        K = jnp.einsum("eqi,eqj->eij", Ms, Ms)
+        fs = (f_c * sw[:, :, None, None]).reshape(E, q * p.n_equations, p.n_rhs)
+        F = jnp.einsum("eqi,eqr->eir", Ms, fs)
         return K, F
 
     if qp_chunk is None or qp_chunk >= Q:
