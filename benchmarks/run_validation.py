@@ -164,30 +164,33 @@ def main() -> None:
             rec = {}
     rec["round"] = rnd
     rec["timestamp"] = datetime.datetime.now().isoformat(timespec="seconds")
+
+    def save(key, value):
+        # incremental write: each phase lands on disk as it completes, so a
+        # wall-clock-killed run still leaves a usable partial record
+        rec[key] = value
+        out.write_text(json.dumps(rec, indent=1) + "\n")
+        print(f"{key}:", json.dumps(value), flush=True)
+
     if os.environ.get("VALIDATION_SKIP_MMS", "0") in ("0", "", "false"):
-        rec["scaled_mms"] = run_mms()
-        print("scaled MMS:", json.dumps(rec["scaled_mms"]))
+        save("scaled_mms", run_mms())
     if os.environ.get("VALIDATION_SKIP_DIST_KARMAN", "0") in ("0", "", "false"):
-        rec["distributed_karman"] = run_distributed_karman()
-        print("distributed karman:", json.dumps(rec["distributed_karman"]))
+        save("distributed_karman", run_distributed_karman())
     if os.environ.get("VALIDATION_SKIP_STROUHAL", "0") in ("0", "", "false"):
         steps = int(os.environ.get("VALIDATION_STEPS", "250"))
         # the fast matrix-free path first (its 0.34 s/step makes a per-round
         # physics check cheap), then the assembled direct anchor
-        rec["strouhal_study_mf"] = run_strouhal(steps, matrix_free=True)
-        print("strouhal (matrix-free):", json.dumps(rec["strouhal_study_mf"]))
+        save("strouhal_study_mf", run_strouhal(steps, matrix_free=True))
         if os.environ.get("VALIDATION_SKIP_DIRECT", "0") in ("0", "", "false"):
-            rec["strouhal_study"] = run_strouhal(steps)
-            print("strouhal (direct):", json.dumps(rec["strouhal_study"]))
+            save("strouhal_study", run_strouhal(steps))
     if os.environ.get("VALIDATION_REFINED", "0") not in ("0", "", "false"):
         # the 2x-refined (~104k dof) PMG configuration (VERDICT r4 item 7);
-        # ~50 min on the TPU at 250 steps — opt-in via VALIDATION_REFINED=1
+        # opt-in via VALIDATION_REFINED=1
         steps = int(os.environ.get("VALIDATION_STEPS", "250"))
-        rec["strouhal_study_refined_pmg"] = run_strouhal(
-            steps, matrix_free=True, refine=2
+        save(
+            "strouhal_study_refined_pmg",
+            run_strouhal(steps, matrix_free=True, refine=2),
         )
-        print("strouhal (refined, PMG):", json.dumps(rec["strouhal_study_refined_pmg"]))
-    out.write_text(json.dumps(rec, indent=1) + "\n")
     print("wrote", out)
 
 
